@@ -1,0 +1,47 @@
+"""ins_tpu: TPU-native incompressible Navier-Stokes framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+IncompressibleNavierStokes.jl (energy-conserving staggered finite volumes,
+four BC families, Boussinesq temperature, explicit RK time integration with
+pressure projection, FFT/CG/direct Poisson solvers, Smagorinsky LES, full
+differentiability, and a neural-closure training stack), built TPU-first:
+component-first field layout, fused stencils, jitted scan loops, sharding
+over device meshes.
+"""
+
+from . import parallel, processors, utils  # noqa: F401
+from .boundary_conditions import (  # noqa: F401
+    DirichletBC,
+    PeriodicBC,
+    PressureBC,
+    SymmetricBC,
+    apply_bc_p,
+    apply_bc_temp,
+    apply_bc_u,
+)
+from .grid import (  # noqa: F401
+    cosine_grid,
+    make_grid,
+    max_size,
+    stretched_grid,
+    tanh_grid,
+)
+from .ops import *  # noqa: F401,F403
+from .processors import (  # noqa: F401
+    Processor,
+    fieldsaver,
+    observefield,
+    processor,
+    timelogger,
+)
+from .setup import Setup, Temperature, temperature_equation  # noqa: F401
+from .solver import get_cfl_timestep, get_state, solve_unsteady  # noqa: F401
+from .time_steppers import (  # noqa: F401
+    LMWray3,
+    RKMethods,
+    create_stepper,
+    runge_kutta_method,
+    timestep,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,279 @@
+"""Pressure-Poisson solvers and projection.
+
+TPU-native re-design of IncompressibleNavierStokes.jl `src/pressure.jl`:
+
+- `psolver_spectral`: batched XLA real-FFT solve on uniform periodic grids
+  (eigenvalue formula of src/pressure.jl:303-311). The FFT runs on-device;
+  under a sharded mesh XLA decomposes it with all-to-all transposes.
+- `psolver_cg`: matrix-free preconditioned conjugate gradients as a
+  `lax.while_loop` (port of the iteration of src/pressure.jl:209-286 with
+  the diagonal-Laplace preconditioner of :188-206). Fully jittable and
+  differentiable through the self-adjoint `poisson` custom_vjp.
+- `psolver_direct`: host-side sparse factorization (SuiteSparse equivalent
+  via scipy.sparse.linalg) wrapped in `jax.pure_callback` for small
+  general-BC grids (reference src/pressure.jl:117-154, CUDSS ext).
+
+`poisson` carries a custom VJP exploiting self-adjointness of the Laplacian
+(reference rrule at src/pressure.jl:18-19), so reverse-mode AD never
+differentiates through FFT internals or the CG loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boundary_conditions import PeriodicBC, PressureBC, apply_bc_p
+from ._stencil import slc
+from .operators import (
+    applypressure,
+    divergence,
+    laplacian,
+    momentum,
+    pressuregradient,
+    scalewithvolume,
+)
+
+__all__ = [
+    "default_psolver",
+    "psolver_spectral",
+    "psolver_cg",
+    "psolver_direct",
+    "poisson",
+    "pressure",
+    "project",
+]
+
+
+def default_psolver(setup):
+    """Spectral on uniform periodic grids, CG otherwise
+    (selection logic of src/pressure.jl:85-98; the reference picks a
+    sparse direct solve where we pick matrix-free CG — a factorization
+    does not map to TPU; `psolver_direct` remains available)."""
+    g = setup.grid
+    if all(g.periodic) and all(g.uniform):
+        return psolver_spectral(setup)
+    return psolver_cg(setup)
+
+
+# --------------------------------------------------------------------------
+# Spectral solver (uniform periodic)
+# --------------------------------------------------------------------------
+
+
+def psolver_spectral(setup):
+    """FFT Poisson solver on a uniform periodic grid.
+
+    Eigenvalues of the discrete Laplacian: `4 Ω sin²(π k / N) / Δx²`
+    (src/pressure.jl:303-311). We run the real FFT over the *last* axis
+    (TPU/XLA convention) rather than the reference's first.
+    """
+    g = setup.grid
+    D = g.dim
+    dtype = setup.dtype
+    if not (all(g.periodic) and all(g.uniform)):
+        raise ValueError("Spectral psolver requires a uniform periodic grid")
+    Np = g.Np
+    dx = [float(np.asarray(g.delta[d])[0]) for d in range(D)]
+    vol = float(np.prod(dx))
+    kmax = tuple(Np[d] // 2 + 1 if d == D - 1 else Np[d] for d in range(D))
+    # Denominator sum_d 4 Ω sin²(π k_d / N_d) / Δx_d²
+    denom = np.zeros(kmax, dtype=np.float64)
+    for d in range(D):
+        k = np.arange(kmax[d])
+        a = 4.0 * vol * np.sin(np.pi * k / Np[d]) ** 2 / dx[d] ** 2
+        denom = denom + a.reshape(tuple(-1 if i == d else 1 for i in range(D)))
+    denom_flat = denom.copy()
+    denom_flat[(0,) * D] = 1.0  # avoid 0/0; k=0 mode is zeroed below
+    inv_denom = jnp.asarray(-1.0 / denom_flat, dtype)
+
+    ip = slc(setup.grid.Ip)
+
+    def psolve(p):
+        f = p[ip]
+        fhat = jnp.fft.rfftn(f)
+        phat = fhat * inv_denom
+        phat = phat.at[(0,) * D].set(0.0)  # zero-mean pressure
+        sol = jnp.fft.irfftn(phat, f.shape).astype(p.dtype)
+        return p.at[ip].set(sol)
+
+    return psolve
+
+
+# --------------------------------------------------------------------------
+# Matrix-free preconditioned CG
+# --------------------------------------------------------------------------
+
+
+def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
+    """Matrix-free Jacobi-preconditioned CG as a `lax.while_loop`
+    (src/pressure.jl:209-286)."""
+    g = setup.grid
+    dtype = setup.dtype
+    if reltol is None:
+        reltol = math.sqrt(float(np.finfo(dtype).eps))
+    if maxiter is None:
+        maxiter = int(np.prod(g.Np))
+    ip = slc(g.Ip)
+
+    # Diagonal-Laplace preconditioner (src/pressure.jl:188-206): uses the
+    # *unmodified* center coefficient in every row.
+    om_over = []
+    box = g.Ip
+    from ._stencil import seg
+
+    om = 1.0
+    for d in range(g.dim):
+        om = om * seg(g.delta[d], box, d)
+    diag = 0.0
+    for d in range(g.dim):
+        shape = [1] * g.dim
+        shape[d] = box[d][1] - box[d][0]
+        diag = diag + om / seg(g.delta[d], box, d) * jnp.reshape(
+            g.plap_diag[d], shape
+        )
+
+    def precond(r):
+        # z = -r / d with d the (negative) unmodified diagonal
+        # (src/pressure.jl:191-201)
+        z = jnp.zeros(g.N, dtype)
+        return z.at[ip].set(-r[ip] / diag)
+
+    def inner(a, b):
+        return jnp.sum(a[ip] * b[ip])
+
+    zerot = jnp.asarray(0.0, dtype)
+
+    def psolve(f):
+        r = f  # initial residual (q=0)
+        residual0 = jnp.sqrt(inner(r, r))
+        tolerance = jnp.maximum(reltol * residual0, abstol)
+        p = jnp.zeros_like(f)
+        q = jnp.zeros_like(f)
+        state = (p, r, q, jnp.asarray(1.0, dtype), residual0, 0)
+
+        def cond(state):
+            _, _, _, _, residual, it = state
+            return jnp.logical_and(it < maxiter, residual > tolerance)
+
+        def body(state):
+            p, r, q, rho_prev, residual, it = state
+            z = precond(r)
+            rho = inner(z, r)
+            beta = rho / rho_prev
+            q = z + beta * q
+            qb = apply_bc_p(q, zerot, setup)
+            Lq = laplacian(qb, setup)
+            alpha = rho / inner(qb, Lq)
+            p = p + alpha * qb
+            r = r - alpha * Lq
+            residual = jnp.sqrt(inner(r, r))
+            return (p, r, qb, rho, residual, it + 1)
+
+        p, *_ = jax.lax.while_loop(cond, body, state)
+        return p
+
+    return psolve
+
+
+# --------------------------------------------------------------------------
+# Host-side sparse direct solver
+# --------------------------------------------------------------------------
+
+
+def psolver_direct(setup):
+    """Direct Poisson solver via host-side sparse LU (scipy), with rank-1
+    nullspace augmentation `[L e; e' 0]` when the operator is singular
+    (no PressureBC anywhere), cf. src/pressure.jl:117-154. Wrapped in
+    `jax.pure_callback` so it composes with jit (not recommended for hot
+    TPU loops; use CG or spectral there)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from .matrices import laplacian_mat
+
+    g = setup.grid
+    dtype = setup.dtype
+    L = laplacian_mat(setup)
+    n = int(np.prod(g.Np))
+    isdefinite = any(
+        isinstance(bc, PressureBC)
+        for bcs in setup.boundary_conditions
+        for bc in bcs
+    )
+    if isdefinite:
+        solve = spla.factorized(sp.csc_matrix(L.astype(np.float64)))
+
+        def host_solve(fvec):
+            return solve(fvec.astype(np.float64)).astype(fvec.dtype)
+
+    else:
+        e = np.ones((n, 1))
+        Laug = sp.bmat([[L, e], [e.T, None]], format="csc").astype(np.float64)
+        solve = spla.factorized(Laug)
+
+        def host_solve(fvec):
+            rhs = np.concatenate([fvec.astype(np.float64), [0.0]])
+            return solve(rhs)[:n].astype(fvec.dtype)
+
+    ip = slc(g.Ip)
+
+    def psolve(p):
+        f = p[ip].reshape(-1)
+        sol = jax.pure_callback(
+            host_solve, jax.ShapeDtypeStruct(f.shape, f.dtype), f,
+            vmap_method="sequential",
+        )
+        return p.at[ip].set(sol.reshape(g.Np))
+
+    return psolve
+
+
+# --------------------------------------------------------------------------
+# poisson / pressure / project
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def poisson(psolver, f):
+    """Solve the pressure-Poisson equation. Self-adjoint custom VJP
+    (reference rrule, src/pressure.jl:18-19)."""
+    return psolver(f)
+
+
+def _poisson_fwd(psolver, f):
+    return psolver(f), None
+
+
+def _poisson_bwd(psolver, _, phibar):
+    return (psolver(phibar),)
+
+
+poisson.defvjp(_poisson_fwd, _poisson_bwd)
+
+
+def pressure(u, temp, t, setup, *, psolver):
+    """Recover pressure consistent with a velocity field
+    (src/pressure.jl:30-38)."""
+    from ..boundary_conditions import apply_bc_u
+
+    F = momentum(u, temp, t, setup)
+    F = apply_bc_u(F, t, setup, dudt=True)
+    div = divergence(F, setup)
+    div = scalewithvolume(div, setup)
+    p = poisson(psolver, div)
+    return apply_bc_p(p, t, setup)
+
+
+def project(u, setup, *, psolver):
+    """Project velocity onto its divergence-free part
+    (src/pressure.jl:52-66)."""
+    div = divergence(u, setup)
+    div = scalewithvolume(div, setup)
+    p = poisson(psolver, div)
+    p = apply_bc_p(p, jnp.asarray(0.0, setup.dtype), setup)
+    return applypressure(u, p, setup)

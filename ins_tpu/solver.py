@@ -1,0 +1,162 @@
+"""Unsteady solver driver.
+
+Re-design of IncompressibleNavierStokes.jl `src/solver.jl`. The hot loop is
+a jitted `lax.scan` over chunks of steps; processors (observability/I-O)
+run host-side between chunks, at their `nupdate` decimation — the TPU-native
+equivalent of the reference's per-step Observable updates
+(src/solver.jl:49-88). Adaptive time stepping (CFL) runs the step in a
+host-driven loop with a jitted CFL estimator (src/solver.jl:101-125).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops._stencil import seg, slc
+from .ops.pressure import default_psolver
+from .time_steppers.methods import ExplicitRungeKuttaMethod
+from .time_steppers.rk_methods import RK44
+from .time_steppers.step import StepperState, create_stepper, timestep
+
+__all__ = ["solve_unsteady", "get_cfl_timestep", "get_state"]
+
+
+def get_state(stepper: StepperState):
+    return dict(u=stepper.u, temp=stepper.temp, t=stepper.t, n=stepper.n)
+
+
+def get_cfl_timestep(u, setup):
+    """Maximum stable time step from convection and diffusion limits
+    (reference src/solver.jl:101-125)."""
+    g = setup.grid
+    dt = jnp.asarray(jnp.inf, setup.dtype)
+    for a in range(g.dim):
+        s, e = g.Iu[a][a]
+        d_min = jnp.min(g.delta_u[a][s:e])
+        dt_diff = setup.Re * d_min**2 / 2
+        box = g.Iu[a]
+        da = seg(g.delta_u[a], box, a)
+        dt_conv = jnp.min(da / jnp.abs(u[(a,) + slc(box)]))
+        dt = jnp.minimum(dt, jnp.minimum(dt_diff, dt_conv))
+    return dt
+
+
+def _chunk_sizes(nstep: int, chunk: int):
+    out = []
+    left = nstep
+    while left > 0:
+        c = min(chunk, left)
+        out.append(c)
+        left -= c
+    return out
+
+
+def solve_unsteady(
+    *,
+    setup,
+    ustart,
+    tlims,
+    tempstart=None,
+    method=None,
+    psolver=None,
+    dt=None,
+    dt_min=None,
+    cfl=0.9,
+    n_adapt_dt=1,
+    processors=None,
+    theta=None,
+    docopy=True,
+    max_chunk=256,
+):
+    """Solve the unsteady problem on `tlims`.
+
+    Fixed `dt`: it is rounded so `(tend - tstart)/dt` is an integer and the
+    loop runs as jitted scan chunks. `dt=None`: adaptive CFL-based stepping.
+    `processors` is a dict name -> Processor; returns `(state, outputs)`.
+    """
+    if method is None:
+        method = RK44()
+    if psolver is None:
+        psolver = default_psolver(setup)
+    processors = dict(processors or {})
+
+    if docopy:
+        # The scan donates state buffers; keep the caller's arrays intact
+        # (reference `docopy`, src/solver.jl:29,35-36).
+        ustart = jnp.copy(ustart)
+        if tempstart is not None:
+            tempstart = jnp.copy(tempstart)
+
+    tstart, tend = tlims
+    state = create_stepper(
+        method, setup=setup, psolver=psolver, u=ustart, temp=tempstart, t=tstart
+    )
+
+    initialized = {
+        k: p.initialize(get_state(state)) for k, p in processors.items()
+    }
+
+    def _update_processors(state):
+        st = None
+        n = int(state.n)
+        for k, p in processors.items():
+            if n % getattr(p, "nupdate", 1) == 0:
+                if st is None:
+                    st = get_state(state)
+                initialized[k] = p.update(initialized[k], st)
+
+    step1 = jax.jit(
+        partial(timestep, method, setup=setup, psolver=psolver, theta=theta),
+        donate_argnums=(0,),
+    )
+
+    isadaptive = dt is None
+    if isadaptive:
+        cfl_fn = jax.jit(partial(get_cfl_timestep, setup=setup))
+        dt_cur = None
+        while float(state.t) < tend - 1e-14 * max(1.0, abs(tend)):
+            n = int(state.n)
+            if dt_cur is None or n % n_adapt_dt == 0:
+                dt_cur = float(cfl) * float(cfl_fn(state.u))
+                if dt_min is not None:
+                    dt_cur = max(dt_cur, dt_min)
+            dt_step = min(dt_cur, tend - float(state.t))
+            state = step1(state, jnp.asarray(dt_step, setup.dtype))
+            _update_processors(state)
+    else:
+        nstep = int(round((tend - tstart) / dt))
+        dt = (tend - tstart) / nstep
+        dtj = jnp.asarray(dt, setup.dtype)
+
+        nupdates = [getattr(p, "nupdate", 1) for p in processors.values()]
+        chunk = math.gcd(*nupdates) if nupdates else max_chunk
+        chunk = max(1, min(chunk, max_chunk, nstep))
+
+        # Scan in `chunk`-step bursts; processors flush between bursts
+        # (chunk = gcd of processor nupdates, so decimation is honored).
+        @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+        def scan_steps(state, dtj, nsteps):
+            def body(s, _):
+                return timestep(
+                    method, s, dtj, setup=setup, psolver=psolver, theta=theta
+                ), None
+
+            state, _ = jax.lax.scan(body, state, None, length=nsteps)
+            return state
+
+        for c in _chunk_sizes(nstep, chunk):
+            state = scan_steps(state, dtj, c)
+            if processors:
+                _update_processors(state)
+
+    outputs = {
+        k: p.finalize(initialized[k], get_state(state))
+        for k, p in processors.items()
+    }
+    return state, outputs
