@@ -1,3 +1,13 @@
 from .operators import *  # noqa: F401,F403
 from .pressure import *  # noqa: F401,F403
 from .initializers import *  # noqa: F401,F403
+from .eddyviscosity import (  # noqa: F401
+    apply_eddy_viscosity,
+    divoftensor,
+    divoftensor_natural,
+    smagorinsky_closure,
+    smagorinsky_closure_natural,
+    smagorinsky_viscosity,
+    strain_natural,
+)
+from .tensorbasis import lastdimcontract, tensorbasis  # noqa: F401

@@ -209,6 +209,7 @@ def psolver_direct(setup):
         solve = spla.factorized(sp.csc_matrix(L.astype(np.float64)))
 
         def host_solve(fvec):
+            fvec = np.asarray(fvec)
             return solve(fvec.astype(np.float64)).astype(fvec.dtype)
 
     else:
@@ -217,6 +218,7 @@ def psolver_direct(setup):
         solve = spla.factorized(Laug)
 
         def host_solve(fvec):
+            fvec = np.asarray(fvec)
             rhs = np.concatenate([fvec.astype(np.float64), [0.0]])
             return solve(rhs)[:n].astype(fvec.dtype)
 
@@ -224,10 +226,15 @@ def psolver_direct(setup):
 
     def psolve(p):
         f = p[ip].reshape(-1)
-        sol = jax.pure_callback(
-            host_solve, jax.ShapeDtypeStruct(f.shape, f.dtype), f,
-            vmap_method="sequential",
-        )
+        if isinstance(f, jax.core.Tracer):
+            # Under jit: host callback (supported on CPU backend; TPU hot
+            # loops should use psolver_cg / psolver_spectral instead)
+            sol = jax.pure_callback(
+                host_solve, jax.ShapeDtypeStruct(f.shape, f.dtype), f,
+                vmap_method="sequential",
+            )
+        else:
+            sol = jnp.asarray(host_solve(np.asarray(f)))
         return p.at[ip].set(sol.reshape(g.Np))
 
     return psolve
