@@ -1,0 +1,245 @@
+"""Neural-closure end-to-end tests (mirrors reference
+lib/NeuralClosure/test/examplerun.jl and filter.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ins_tpu as ins
+import ins_tpu.models as nc
+from ins_tpu.time_steppers.rk_methods import RK44
+
+
+def _setup(n, Re=2e3, dtype=jnp.float64):
+    x = (np.linspace(0.0, 1.0, n + 1),) * 2
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 2
+    return ins.Setup(x=x, boundary_conditions=bc, Re=Re, dtype=dtype)
+
+
+def test_filters_preserve_constants():
+    """Mirrors reference filter.jl:1-18."""
+    dns = _setup(32)
+    les = _setup(16)
+    comp = 2
+    u = jnp.ones((2, *dns.grid.N), dns.dtype)
+    for phi in (nc.FaceAverage(), nc.VolumeAverage()):
+        v = phi(u, les, comp)
+        g = les.grid
+        for a in range(2):
+            sl = (a,) + tuple(slice(s, e) for (s, e) in g.Iu[a])
+            np.testing.assert_allclose(np.asarray(v[sl]), 1.0, atol=1e-12)
+
+
+def test_face_average_exact():
+    """FaceAverage of a linear-in-x u-velocity is exact at coarse faces."""
+    dns = _setup(32)
+    les = _setup(16)
+    comp = 2
+    u = ins.velocityfield(
+        dns, lambda d, x, y: (d == 0) * jnp.sin(2 * jnp.pi * x), doproject=False
+    )
+    v = nc.FaceAverage()(u, les, comp)
+    # Coarse u-face values equal the mean over the fine faces at the same x
+    g = les.grid
+    assert not np.any(np.isnan(v))
+    # The coarse face at x coincides with a fine face: along x no averaging
+    # of positions happens for FaceAverage's normal component, only over y
+    sl = (0,) + tuple(slice(s, e) for (s, e) in g.Iu[0])
+    assert float(jnp.max(jnp.abs(v[sl]))) > 0.1
+
+
+def test_reconstruct_roundtrip():
+    dns = _setup(32)
+    les = _setup(16)
+    comp = 2
+    v = ins.velocityfield(
+        les,
+        lambda d, x, y: (d == 0) * jnp.sin(2 * jnp.pi * x)
+        + (d == 1) * jnp.cos(2 * jnp.pi * y),
+        doproject=False,
+    )
+    u = nc.reconstruct(v, dns, les, comp)
+    assert not np.any(np.isnan(u))
+    # Filtering the reconstruction returns the LES field (FaceAverage is a
+    # left inverse of linear reconstruction for face values)
+    v2 = nc.FaceAverage()(ins.apply_bc_u(u, jnp.asarray(0.0), dns), les, comp)
+    g = les.grid
+    for a in range(2):
+        sl = (a,) + tuple(slice(s, e) for (s, e) in g.Iu[a])
+        np.testing.assert_allclose(
+            np.asarray(v2[sl]), np.asarray(v[sl]), atol=5e-2
+        )
+
+
+@pytest.fixture(scope="module")
+def les_data():
+    rng = jax.random.PRNGKey(123)
+    data = nc.create_les_data(
+        D=2,
+        Re=2e3,
+        lims=(0.0, 1.0),
+        nles=[16],
+        ndns=32,
+        filters=(nc.FaceAverage(), nc.VolumeAverage()),
+        tburn=5e-3,
+        tsim=2e-2,
+        savefreq=2,
+        dt=1e-3,
+        rng=rng,
+        dtype=jnp.float64,
+        processors={},
+    )
+    return data
+
+
+def test_create_les_data(les_data):
+    assert len(les_data) == 2  # 1 LES grid x 2 filters
+    for d in les_data:
+        assert d["u"].shape[0] == d["c"].shape[0] == len(d["t"])
+        assert d["u"].shape[0] >= 5
+        assert not np.any(np.isnan(d["u"]))
+        assert not np.any(np.isnan(d["c"]))
+
+
+def test_apriori_and_aposteriori_training(les_data):
+    les = _setup(16)
+    io = nc.create_io_arrays(les_data, les)
+    assert io["u"].shape[1:] == (16, 16, 2)
+
+    rng = jax.random.PRNGKey(0)
+    closure, theta0 = nc.cnn(
+        setup=les,
+        radii=[2, 2],
+        channels=[8, 2],
+        activations=[jax.nn.tanh, lambda x: x],
+        use_bias=[True, False],
+        rng=rng,
+    )
+
+    # ---- a-priori training (10 iters) ----
+    dataloader = nc.create_dataloader_prior(
+        (io["u"], io["c"]), batchsize=4
+    )
+    loss_prior = nc.create_loss_prior(closure)
+    relerr_pri = nc.create_relerr_prior(
+        closure, jnp.asarray(io["u"]), jnp.asarray(io["c"])
+    )
+    e0 = float(relerr_pri(theta0))
+    ts = nc.create_trainstate(theta0, lr=1e-3, rng=jax.random.PRNGKey(7))
+    cbstate, cb = nc.create_callback(relerr_pri, theta=theta0, nupdate=5)
+    out = nc.train(
+        dataloader=dataloader,
+        loss=loss_prior,
+        trainstate=ts,
+        niter=10,
+        callback=cb,
+        callbackstate=cbstate,
+    )
+    e1 = float(relerr_pri(out["trainstate"]["theta"]))
+    assert np.isfinite(e1)
+    assert e1 <= e0 * 1.5  # training does not blow up
+
+    # ---- a-posteriori training (3 iters, grad through solver) ----
+    m = nc.wrappedclosure(closure, les)
+    psolver = ins.psolver_spectral(les)
+    loss_post = nc.create_loss_post(
+        setup=les, method=RK44(), psolver=psolver, closure_model=m
+    )
+    traj = [dict(u=d["u"], t=d["t"]) for d in les_data]
+    dl_post = nc.create_dataloader_post(traj, ntrajectory=2, nunroll=3)
+    ts2 = nc.create_trainstate(
+        out["trainstate"]["theta"], lr=1e-4, rng=jax.random.PRNGKey(8)
+    )
+    out2 = nc.train(
+        dataloader=dl_post, loss=loss_post, trainstate=ts2, niter=3
+    )
+    theta2 = out2["trainstate"]["theta"]
+    assert all(
+        np.all(np.isfinite(np.asarray(v)))
+        for v in jax.tree.leaves(theta2)
+    )
+
+    # ---- all four error types ----
+    relerr_post = nc.create_relerr_post(
+        data=dict(u=les_data[0]["u"][:4], t=les_data[0]["t"][:4]),
+        setup=les,
+        method=RK44(),
+        psolver=psolver,
+        closure_model=m,
+    )
+    e_post = float(relerr_post(theta2))
+    assert np.isfinite(e_post)
+
+    setup_c = ins.Setup(
+        x=(np.linspace(0.0, 1.0, 17),) * 2,
+        boundary_conditions=((ins.PeriodicBC(), ins.PeriodicBC()),) * 2,
+        Re=2e3,
+        closure_model=m,
+        dtype=jnp.float64,
+    )
+    usym = jnp.asarray(les_data[0]["u"][:2])
+    err_sym_pri = nc.create_relerr_symmetry_prior(u=usym, setup=setup_c)
+    assert np.isfinite(float(err_sym_pri(theta2)))
+
+    err_sym_post = nc.create_relerr_symmetry_post(
+        u=jnp.asarray(les_data[0]["u"][0]),
+        setup=setup_c,
+        psolver=psolver,
+        dt=1e-3,
+        nstep=2,
+    )
+    assert np.isfinite(float(err_sym_post(theta2)))
+
+
+def test_gcnn_equivariance():
+    """The group CNN is exactly p4-equivariant
+    (reference symmetry error machinery, training.jl:221-240)."""
+    les = _setup(16)
+    closure, theta = nc.gcnn(
+        setup=les,
+        radii=[2, 2],
+        channels=[4, 1],
+        activations=[jax.nn.tanh, lambda x: x],
+        use_bias=[True, False],
+        rng=jax.random.PRNGKey(1),
+    )
+    m = nc.wrappedclosure(closure, les)
+    u = ins.random_field(les, kp=4, rng=jax.random.PRNGKey(2))
+    for gidx in (1, 2, 3):
+        cr = m(nc.rot2stag(u, gidx), theta)
+        rc = nc.rot2stag(m(u, theta), gidx)
+        sl = (slice(None),) + tuple(
+            slice(s, e) for (s, e) in les.grid.Iu[0]
+        )
+        a = np.asarray(cr[sl])
+        b = np.asarray(rc[sl])
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < 1e-6, (gidx, rel)
+
+
+def test_fno_runs_and_trains():
+    les = _setup(16)
+    closure, theta = nc.fno(
+        setup=les,
+        kmax=[4, 4],
+        c=[8, 8],
+        sigma=[jax.nn.gelu, jax.nn.gelu],
+        psi=jax.nn.gelu,
+        rng=jax.random.PRNGKey(3),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 16, 16, 2), jnp.float64)
+    y = closure(x, theta)
+    assert y.shape == x.shape
+    assert not np.any(np.isnan(y))
+    # One grad step
+    loss = nc.create_loss_prior(closure)
+    g = jax.grad(lambda th: loss((x, y * 0.9), th))(theta)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))
+
+
+def test_gaussian_force():
+    setup = _setup(16)
+    f = nc.gaussian_force(setup, rng=jax.random.PRNGKey(5))
+    assert f.shape == (2, *setup.grid.N)
+    assert abs(float(jnp.mean(f))) < 1e-12
