@@ -29,10 +29,21 @@ from .grid import (  # noqa: F401
 from .ops import *  # noqa: F401,F403
 from .processors import (  # noqa: F401
     Processor,
+    fieldobserver,
     fieldsaver,
+    get_streamfunction,
     observefield,
+    observespectrum,
     processor,
+    save_vtk,
     timelogger,
+    vtk_writer,
+)
+from .sciml import create_right_hand_side, right_hand_side  # noqa: F401
+from .utils.checkpoint import (  # noqa: F401
+    checkpointer,
+    load_checkpoint,
+    save_checkpoint,
 )
 from .setup import Setup, Temperature, temperature_equation  # noqa: F401
 from .solver import get_cfl_timestep, get_state, solve_unsteady  # noqa: F401

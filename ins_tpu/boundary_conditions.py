@@ -186,8 +186,11 @@ def _dirichlet_temp_value(bc: DirichletBC, coords, t, dtype):
 # --------------------------------------------------------------------------
 
 
-def apply_bc_u(u, t, setup, *, dudt: bool = False):
+def apply_bc_u(u, t, setup, *, dudt: bool = False, homogeneous: bool = False):
     """Apply velocity boundary conditions (pure function).
+
+    `homogeneous=True` zeroes Dirichlet boundary values (for linear-solver
+    iterations on BC-corrected unknowns).
 
     Reference: `apply_bc_u!` at src/boundary_conditions.jl:159-167 and the
     per-type methods at :276-495.
@@ -195,6 +198,9 @@ def apply_bc_u(u, t, setup, *, dudt: bool = False):
     g = setup.grid
     for beta in range(g.dim):
         bcl, bcr = setup.boundary_conditions[beta]
+        if homogeneous:
+            bcl = DirichletBC() if isinstance(bcl, DirichletBC) else bcl
+            bcr = DirichletBC() if isinstance(bcr, DirichletBC) else bcr
         u = _apply_bc_u_side(bcl, u, beta, t, setup, isright=False, dudt=dudt)
         u = _apply_bc_u_side(bcr, u, beta, t, setup, isright=True, dudt=dudt)
     return u

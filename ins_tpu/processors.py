@@ -23,6 +23,11 @@ __all__ = [
     "timelogger",
     "fieldsaver",
     "observefield",
+    "fieldobserver",
+    "observespectrum",
+    "save_vtk",
+    "vtk_writer",
+    "get_streamfunction",
 ]
 
 
@@ -88,7 +93,7 @@ def fieldsaver(nupdate=1):
 
 def observefield(func, *, nupdate=1):
     """Record a derived quantity `func(state) -> value` every `nupdate`
-    steps (reference `observefield`, src/processors.jl:77-198)."""
+    steps."""
 
     def initialize(state):
         return []
@@ -98,3 +103,189 @@ def observefield(func, *, nupdate=1):
         return vals
 
     return Processor(initialize, update, lambda vals, s: vals, nupdate)
+
+
+def get_streamfunction(u, setup):
+    """2D streamfunction psi with nabla^2 psi = -omega on uniform periodic
+    grids (the reference references but never defines this; here it is a
+    working spectral solve)."""
+    import numpy as np
+
+    from .ops._stencil import slc
+    from .ops.operators import vorticity
+
+    g = setup.grid
+    assert g.dim == 2, "Streamfunction is 2D only"
+    assert all(g.periodic) and all(g.uniform)
+    w = vorticity(u, setup)
+    ip = slc(g.Ip)
+    wi = w[ip]
+    Np = g.Np
+    dx = [float(np.asarray(g.delta[d])[0]) for d in range(2)]
+    kx = np.fft.fftfreq(Np[0]) * 2 * np.pi / dx[0]
+    ky = np.fft.rfftfreq(Np[1]) * 2 * np.pi / dx[1]
+    k2 = kx[:, None] ** 2 + ky[None, :] ** 2
+    k2[0, 0] = 1.0
+    what = jnp.fft.rfftn(wi)
+    psihat = what / jnp.asarray(k2, what.dtype)
+    psihat = psihat.at[0, 0].set(0.0)
+    psi = jnp.fft.irfftn(psihat, wi.shape).astype(u.dtype)
+    out = jnp.zeros(g.N, u.dtype)
+    return out.at[ip].set(psi)
+
+
+def fieldobserver(setup, fieldname, *, psolver=None, logtol=None):
+    """Jitted `state -> field` extractor at pressure DOFs (reference
+    `observefield`, src/processors.jl:77-198). Supported names: component
+    indices 0..D-1, 'velocity', 'velocitynorm', 'vorticity', 'pressure',
+    'streamfunction', 'Dfield', 'Qfield', 'eig2field', 'temperature',
+    'B1'.. / 'V1'.. tensor-basis channels."""
+    import numpy as np
+
+    from .ops._stencil import slc
+    from .ops import operators as ops
+    from .ops.pressure import default_psolver, pressure
+    from .ops.tensorbasis import tensorbasis
+
+    g = setup.grid
+    D = g.dim
+    ip = slc(g.Ip)
+    if logtol is None:
+        logtol = float(np.finfo(setup.dtype).eps)
+    if fieldname in ("pressure", "Dfield") and psolver is None:
+        psolver = default_psolver(setup)
+
+    def compute(state):
+        u, temp, t = state["u"], state["temp"], state["t"]
+        if isinstance(fieldname, int):
+            up = ops.interpolate_u_p(u, setup)
+            return up[fieldname][ip]
+        if fieldname == "velocity":
+            up = ops.interpolate_u_p(u, setup)
+            return up[(slice(None),) + ip]
+        if fieldname == "velocitynorm":
+            up = ops.interpolate_u_p(u, setup)
+            return jnp.sqrt(sum(up[a] ** 2 for a in range(D)))[ip]
+        if fieldname == "vorticity":
+            w = ops.vorticity(u, setup)
+            wp = ops.interpolate_omega_p(w, setup)
+            return wp[ip] if D == 2 else wp[(slice(None),) + ip]
+        if fieldname == "streamfunction":
+            return get_streamfunction(u, setup)[ip]
+        if fieldname == "pressure":
+            p = pressure(u, temp, t, setup, psolver=psolver)
+            return p[ip]
+        if fieldname == "Dfield":
+            p = pressure(u, temp, t, setup, psolver=psolver)
+            d = ops.Dfield(p, setup)
+            return jnp.log(jnp.maximum(logtol, d[ip]))
+        if fieldname == "Qfield":
+            q = ops.Qfield(u, setup)
+            return jnp.log(jnp.maximum(logtol, q[ip]))
+        if fieldname == "eig2field":
+            lam = ops.eig2field(u, setup)
+            return jnp.log(jnp.maximum(logtol, -lam[ip]))
+        if fieldname == "temperature":
+            return temp[ip]
+        if isinstance(fieldname, str) and fieldname[0] in "BV":
+            idx = int(fieldname[1:]) - 1
+            B, V = tensorbasis(u, setup)
+            if fieldname[0] == "B":
+                return B[idx][ip]
+            return V[idx][ip]
+        raise ValueError(f"Unknown fieldname {fieldname!r}")
+
+    return jax.jit(compute)
+
+
+def observespectrum(setup, *, nupdate=1, npoint=100):
+    """Processor recording the binned kinetic-energy spectrum
+    (reference `observespectrum`, src/processors.jl:303-332). Returns
+    dict(kappa, ehat_history)."""
+    import numpy as np
+
+    from .ops._stencil import slc
+    from .utils.spectrum import spectral_stuff
+
+    g = setup.grid
+    D = g.dim
+    st = spectral_stuff(setup, npoint=npoint)
+    masks = st["masks"].reshape(st["masks"].shape[0], -1)
+    K = st["K"]
+    ip = slc(g.Ip)
+
+    @jax.jit
+    def ehat_of(u):
+        e = 0.0
+        for a in range(D):
+            uhat = jnp.fft.fftn(u[a][ip])
+            uhat = uhat[tuple(slice(0, k) for k in K)]
+            e = e + jnp.abs(uhat) ** 2 / (2 * float(np.prod(g.Np)) ** 2)
+        return masks.astype(u.dtype) @ e.reshape(-1)
+
+    def initialize(state):
+        return dict(kappa=np.asarray(st["kappa"]), ehat=[], t=[])
+
+    def update(ps, state):
+        ps["ehat"].append(np.asarray(ehat_of(state["u"])))
+        ps["t"].append(float(state["t"]))
+        return ps
+
+    return Processor(initialize, update, lambda ps, s: ps, nupdate)
+
+
+def save_vtk(state, *, setup, filename="output/solution",
+             fieldnames=("velocity",), psolver=None):
+    """Save a snapshot to a VTK file (reference save_vtk,
+    src/processors.jl:248-258)."""
+    import numpy as np
+
+    from .ops._stencil import slc
+    from .utils.vtk import write_vtr
+
+    g = setup.grid
+    coords = [np.asarray(g.xp[d])[slc(g.Ip)[d]] for d in range(g.dim)]
+    data = {}
+    for name in fieldnames:
+        obs = fieldobserver(setup, name, psolver=psolver)
+        data[str(name)] = np.asarray(obs(state))
+    return write_vtr(filename, coords, data, time=float(state["t"]))
+
+
+def vtk_writer(*, setup, nupdate=1, dir="output", filename="solution",
+               fieldnames=("velocity",), psolver=None):
+    """Processor writing time-stamped .vtr snapshots + a .pvd collection
+    (reference vtk_writer, src/processors.jl:266-285)."""
+    import os
+
+    import numpy as np
+
+    from .ops._stencil import slc
+    from .utils.vtk import PVDCollection, write_vtr
+
+    g = setup.grid
+    coords = [np.asarray(g.xp[d])[slc(g.Ip)[d]] for d in range(g.dim)]
+    observers = {
+        str(name): fieldobserver(setup, name, psolver=psolver)
+        for name in fieldnames
+    }
+
+    def initialize(state):
+        os.makedirs(dir, exist_ok=True)
+        pvd = PVDCollection(os.path.join(dir, filename))
+        return _update(pvd, state)
+
+    def _update(pvd, state):
+        t = float(state["t"])
+        tstr = f"{t:g}".replace(".", "p")
+        data = {k: np.asarray(obs(state)) for k, obs in observers.items()}
+        f = write_vtr(
+            os.path.join(dir, f"{filename}_t={tstr}"), coords, data, time=t
+        )
+        pvd.add(t, f)
+        return pvd
+
+    def finalize(pvd, state):
+        return pvd.save()
+
+    return Processor(initialize, _update, finalize, nupdate)

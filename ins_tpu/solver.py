@@ -94,9 +94,14 @@ def solve_unsteady(
             tempstart = jnp.copy(tempstart)
 
     tstart, tend = tlims
-    state = create_stepper(
-        method, setup=setup, psolver=psolver, u=ustart, temp=tempstart, t=tstart
+    # One jit for stepper creation: AB-CN/one-leg initialization includes
+    # a full pressure solve (expensive op-by-op on remote-compile backends)
+    make_stepper = jax.jit(
+        lambda u, temp: create_stepper(
+            method, setup=setup, psolver=psolver, u=u, temp=temp, t=tstart
+        )
     )
+    state = make_stepper(ustart, tempstart)
 
     initialized = {
         k: p.initialize(get_state(state)) for k, p in processors.items()

@@ -7,4 +7,5 @@ from .methods import (  # noqa: F401
     OneLegMethod,
     runge_kutta_method,
 )
+from .imex import ABCNState, OneLegState  # noqa: F401
 from .step import StepperState, create_stepper, timestep  # noqa: F401

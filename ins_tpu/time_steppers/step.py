@@ -17,7 +17,12 @@ import jax.numpy as jnp
 from ..boundary_conditions import apply_bc_temp, apply_bc_u
 from ..ops.operators import convection_diffusion_temp, dissipation, momentum
 from ..ops.pressure import project
-from .methods import ExplicitRungeKuttaMethod, LMWray3
+from .methods import (
+    AdamsBashforthCrankNicolsonMethod,
+    ExplicitRungeKuttaMethod,
+    LMWray3,
+    OneLegMethod,
+)
 
 
 class StepperState(NamedTuple):
@@ -30,7 +35,18 @@ class StepperState(NamedTuple):
 
 
 def create_stepper(method, *, setup, psolver, u, temp=None, t=0.0, n=0):
-    del method, psolver
+    if isinstance(method, AdamsBashforthCrankNicolsonMethod):
+        from .imex import create_stepper_abcn
+
+        return create_stepper_abcn(
+            method, setup=setup, psolver=psolver, u=u, temp=temp, t=t
+        )
+    if isinstance(method, OneLegMethod):
+        from .imex import create_stepper_oneleg
+
+        return create_stepper_oneleg(
+            method, setup=setup, psolver=psolver, u=u, temp=temp, t=t
+        )
     return StepperState(
         u=u,
         temp=temp,
@@ -45,6 +61,18 @@ def timestep(method, state, dt, *, setup, psolver, theta=None):
         return _timestep_erk(method, state, dt, setup=setup, psolver=psolver, theta=theta)
     if isinstance(method, LMWray3):
         return _timestep_lmwray3(method, state, dt, setup=setup, psolver=psolver, theta=theta)
+    if isinstance(method, AdamsBashforthCrankNicolsonMethod):
+        from .imex import timestep_abcn
+
+        return timestep_abcn(
+            method, state, dt, setup=setup, psolver=psolver, theta=theta
+        )
+    if isinstance(method, OneLegMethod):
+        from .imex import timestep_oneleg
+
+        return timestep_oneleg(
+            method, state, dt, setup=setup, psolver=psolver, theta=theta
+        )
     raise NotImplementedError(f"timestep not implemented for {type(method)}")
 
 
