@@ -226,41 +226,78 @@ def apply_bc_temp(temp, t, setup):
     return temp
 
 
+# --------------------------------------------------------------------------
+# Fill primitives.
+#
+# All ghost fills are expressed as gathers (`jnp.take` with a static wrap
+# index) and masked selects — never scatter-updates. Besides being the
+# faster TPU pattern (one fused gather instead of two scatters), this
+# avoids an XLA GSPMD partitioner miscompile observed with
+# `x.at[plane].set(x[other_plane])` self-copies on sharded arrays.
+# --------------------------------------------------------------------------
+
+
+def _copy_index(N, plane, src):
+    idx = np.arange(N)
+    idx[plane] = src
+    return jnp.asarray(idx)
+
+
+def _take_dim(f, axis, idx):
+    return jnp.take(f, idx, axis=axis)
+
+
+def _plane_mask(N, beta, plane, extra_ndim=0):
+    m = np.zeros(N, np.bool_)
+    sl = tuple(plane if d == beta else slice(None) for d in range(len(N)))
+    m[sl] = True
+    m = m.reshape(m.shape + (1,) * extra_ndim)
+    return jnp.asarray(m)
+
+
+def _set_plane(f, N, beta, plane, value, axis_offset=0):
+    """Select `value` on the plane `dim beta == plane` (broadcasts)."""
+    mask = _plane_mask(N, beta, plane, extra_ndim=f.ndim - len(N) - axis_offset)
+    if axis_offset:
+        mask = jnp.reshape(mask, (1,) * axis_offset + mask.shape)
+    return jnp.where(mask, value, f)
+
+
 def _apply_bc_u_side(bc, u, beta, t, setup, *, isright, dudt=False):
     g = setup.grid
     D, N = g.dim, g.N
+    axis = 1 + beta
     if isinstance(bc, PeriodicBC):
         if isright:
             return u  # both sides handled in the "left" call
-        Ia = boundary_plane(beta, N, g.Ip, False)
-        Ib = boundary_plane(beta, N, g.Ip, True)
-        Ja = box_slices(Ia, {beta: +1})
-        Jb = box_slices(Ib, {beta: -1})
-        u = u.at[(slice(None),) + box_slices(Ia)].set(u[(slice(None),) + Jb])
-        u = u.at[(slice(None),) + box_slices(Ib)].set(u[(slice(None),) + Ja])
-        return u
+        idx = np.arange(N[beta])
+        idx[0] = N[beta] - 2
+        idx[-1] = 1
+        return _take_dim(u, axis, jnp.asarray(idx))
     if isinstance(bc, DirichletBC):
         for alpha in range(D):
             box = boundary_plane(beta, N, g.Iu[alpha], isright)
+            plane = box[beta][0]
             coords = plane_coords(g.xu[alpha], box)
             val = _dirichlet_u_value(bc, alpha, coords, t, setup.dtype, dudt)
-            u = u.at[(alpha,) + box_slices(box)].set(val)
+            # val has extent 1 along dim beta; broadcasts onto the plane
+            comp = _set_plane(u[alpha], N, beta, plane, val)
+            u = jnp.concatenate(
+                [u[:alpha], comp[None], u[alpha + 1 :]], axis=0
+            )
         return u
-    if isinstance(bc, SymmetricBC):
+    if isinstance(bc, (SymmetricBC, PressureBC)):
+        comps = []
         for alpha in range(D):
             box = boundary_plane(beta, N, g.Iu[alpha], isright)
-            if alpha == beta:
-                u = u.at[(alpha,) + box_slices(box)].set(0.0)
+            plane = box[beta][0]
+            if isinstance(bc, SymmetricBC) and alpha == beta:
+                comps.append(_set_plane(u[alpha], N, beta, plane, 0.0))
             else:
-                J = box_slices(box, {beta: -1 if isright else +1})
-                u = u.at[(alpha,) + box_slices(box)].set(u[(alpha,) + J])
-        return u
-    if isinstance(bc, PressureBC):
-        for alpha in range(D):
-            box = boundary_plane(beta, N, g.Iu[alpha], isright)
-            J = box_slices(box, {beta: -1 if isright else +1})
-            u = u.at[(alpha,) + box_slices(box)].set(u[(alpha,) + J])
-        return u
+                src = plane - 1 if isright else plane + 1
+                idx = _copy_index(N[beta], plane, src)
+                comps.append(_take_dim(u[alpha], beta, idx))
+        return jnp.stack(comps)
     raise TypeError(f"Unknown boundary condition {bc!r}")
 
 
@@ -270,20 +307,20 @@ def _apply_bc_p_side(bc, p, beta, setup, *, isright):
     if isinstance(bc, PeriodicBC):
         if isright:
             return p
-        Ia = boundary_plane(beta, N, g.Ip, False)
-        Ib = boundary_plane(beta, N, g.Ip, True)
-        p = p.at[box_slices(Ia)].set(p[box_slices(Ia, {beta: N[beta] - 2})])
-        p = p.at[box_slices(Ib)].set(p[box_slices(Ib, {beta: -(N[beta] - 2)})])
-        return p
+        idx = np.arange(N[beta])
+        idx[0] = N[beta] - 2
+        idx[-1] = 1
+        return _take_dim(p, beta, jnp.asarray(idx))
     if isinstance(bc, DirichletBC):
         return p  # not used, cf. src/boundary_conditions.jl:388
     if isinstance(bc, SymmetricBC):
         box = boundary_plane(beta, N, g.Ip, isright)
-        J = box_slices(box, {beta: -1 if isright else +1})
-        return p.at[box_slices(box)].set(p[J])
+        plane = box[beta][0]
+        src = plane - 1 if isright else plane + 1
+        return _take_dim(p, beta, _copy_index(N[beta], plane, src))
     if isinstance(bc, PressureBC):
         box = boundary_plane(beta, N, g.Ip, isright)
-        return p.at[box_slices(box)].set(0.0)
+        return _set_plane(p, N, beta, box[beta][0], 0.0)
     raise TypeError(f"Unknown boundary condition {bc!r}")
 
 
@@ -296,7 +333,7 @@ def _apply_bc_temp_side(bc, temp, beta, t, setup, *, isright):
         box = boundary_plane(beta, N, g.Ip, isright)
         coords = plane_coords(g.xp, box)
         val = _dirichlet_temp_value(bc, coords, t, setup.dtype)
-        return temp.at[box_slices(box)].set(val)
+        return _set_plane(temp, N, beta, box[beta][0], val)
     if isinstance(bc, SymmetricBC):
         return _apply_bc_p_side(bc, temp, beta, setup, isright=isright)
     if isinstance(bc, PressureBC):

@@ -56,6 +56,15 @@ def spatial_sharding(mesh, ndim_field, *, is_vector=False, batched=False):
 
 def shard_state(mesh, u, temp=None):
     """Place velocity (and temperature) with spatial sharding."""
+    spatial = [a for a in mesh.axis_names if a in SPATIAL_AXES]
+    for d, ax in enumerate(spatial):
+        size = mesh.shape[ax]
+        if u.shape[1 + d] % size != 0:
+            raise ValueError(
+                f"ghost-padded extent N[{d}]={u.shape[1 + d]} is not "
+                f"divisible by mesh axis '{ax}' of size {size}; choose "
+                f"n so that n + 2 (ghosts) divides the mesh"
+            )
     us = jax.device_put(u, spatial_sharding(mesh, u.ndim, is_vector=True))
     if temp is None:
         return us, None

@@ -73,12 +73,18 @@ def solve_unsteady(
     theta=None,
     docopy=True,
     max_chunk=256,
+    mesh=None,
 ):
     """Solve the unsteady problem on `tlims`.
 
     Fixed `dt`: it is rounded so `(tend - tstart)/dt` is an integer and the
     loop runs as jitted scan chunks. `dt=None`: adaptive CFL-based stepping.
     `processors` is a dict name -> Processor; returns `(state, outputs)`.
+
+    `mesh`: optional `jax.sharding.Mesh` for multi-chip domain
+    decomposition — the state is placed with spatial sharding and XLA
+    GSPMD inserts the halo exchanges / FFT transposes over ICI (the
+    reference is single-device; SURVEY.md §2.5).
     """
     if method is None:
         method = RK44()
@@ -92,6 +98,11 @@ def solve_unsteady(
         ustart = jnp.copy(ustart)
         if tempstart is not None:
             tempstart = jnp.copy(tempstart)
+
+    if mesh is not None:
+        from .parallel.mesh import shard_state
+
+        ustart, tempstart = shard_state(mesh, ustart, tempstart)
 
     tstart, tend = tlims
     # One jit for stepper creation: AB-CN/one-leg initialization includes
