@@ -44,11 +44,21 @@ def main():
 
     from functools import partial
 
+    from ins_tpu.ops.fastpath import (
+        fastpath_applicable,
+        make_fast_timestep,
+        strip_ghosts,
+    )
+
+    assert fastpath_applicable(setup, method, psolver)
+    fast_step = make_fast_timestep(setup, method)
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state):
-        return timestep(method, state, dt, setup=setup, psolver=psolver)
+        return fast_step(state, dt, None)
 
     state = create_stepper(method, setup=setup, psolver=psolver, u=u0)
+    state = state._replace(u=jax.jit(strip_ghosts)(state.u))
     for _ in range(NSTEP_WARMUP):
         state = step(state)
     jax.block_until_ready(state.u)

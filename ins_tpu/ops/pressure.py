@@ -101,6 +101,7 @@ def psolver_spectral(setup):
         sol = jnp.fft.irfftn(phat, f.shape).astype(p.dtype)
         return p.at[ip].set(sol)
 
+    psolve.is_spectral = True  # enables the ghost-free periodic fast path
     return psolve
 
 

@@ -57,6 +57,26 @@ def _chunk_sizes(nstep: int, chunk: int):
     return out
 
 
+# Compiled step/scan cache: repeated solve_unsteady calls with the same
+# (setup, method, psolver) reuse the jitted functions instead of
+# re-tracing fresh closures (compilation is expensive on remote-compile
+# backends). Values keep strong refs to the keys' objects so ids stay
+# valid.
+_compiled_cache: dict = {}
+
+
+def _get_compiled(setup, method, psolver, theta_is_none, builder):
+    key = (id(setup), id(psolver), method, theta_is_none)
+    hit = _compiled_cache.get(key)
+    if hit is not None:
+        return hit[0]
+    fns = builder()
+    _compiled_cache[key] = (fns, setup, psolver)
+    if len(_compiled_cache) > 64:
+        _compiled_cache.pop(next(iter(_compiled_cache)))
+    return fns
+
+
 def solve_unsteady(
     *,
     setup,
@@ -105,17 +125,82 @@ def solve_unsteady(
         ustart, tempstart = shard_state(mesh, ustart, tempstart)
 
     tstart, tend = tlims
-    # One jit for stepper creation: AB-CN/one-leg initialization includes
-    # a full pressure solve (expensive op-by-op on remote-compile backends)
-    make_stepper = jax.jit(
-        lambda u, temp: create_stepper(
-            method, setup=setup, psolver=psolver, u=u, temp=temp, t=tstart
+
+    def _builder():
+        from .ops.fastpath import (
+            fastpath_applicable,
+            make_fast_timestep,
+            reghost,
+            strip_ghosts,
         )
+
+        use_fast = fastpath_applicable(setup, method, psolver)
+        if use_fast:
+            fast_step = make_fast_timestep(setup, method)
+
+            def step(s, dtj, th):
+                return fast_step(s, dtj, th)
+
+            strip = jax.jit(strip_ghosts)
+            regh = jax.jit(reghost)
+        else:
+
+            def step(s, dtj, th):
+                return timestep(
+                    method, s, dtj, setup=setup, psolver=psolver, theta=th
+                )
+
+            strip = regh = None
+
+        # One jit for stepper creation: AB-CN/one-leg initialization
+        # includes a pressure solve (expensive op-by-op on remote-compile
+        # backends)
+        make_stepper = jax.jit(
+            lambda u, temp, t0: create_stepper(
+                method, setup=setup, psolver=psolver, u=u, temp=temp, t=t0
+            )
+        )
+        step1 = jax.jit(step, donate_argnums=(0,))
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def scan_steps(s, dtj, th, nsteps):
+            def body(si, _):
+                return step(si, dtj, th), None
+
+            s, _ = jax.lax.scan(body, s, None, length=nsteps)
+            return s
+
+        def cfl_u(s):
+            return get_cfl_timestep(regh(s.u) if use_fast else s.u, setup)
+
+        return dict(
+            use_fast=use_fast,
+            strip=strip,
+            regh=regh,
+            make_stepper=make_stepper,
+            step1=step1,
+            scan_steps=scan_steps,
+            cfl_fn=jax.jit(cfl_u),
+        )
+
+    fns = _get_compiled(setup, method, psolver, theta is None, _builder)
+    state = fns["make_stepper"](
+        ustart, tempstart, jnp.asarray(tstart, setup.dtype)
     )
-    state = make_stepper(ustart, tempstart)
+    if fns["use_fast"]:
+        state = state._replace(u=fns["strip"](state.u))
+
+        def to_public(s):
+            return s._replace(u=fns["regh"](s.u))
+
+    else:
+
+        def to_public(s):
+            return s
 
     initialized = {
-        k: p.initialize(get_state(state)) for k, p in processors.items()
+        k: p.initialize(get_state(to_public(state)))
+        for k, p in processors.items()
     }
 
     def _update_processors(state):
@@ -124,26 +209,20 @@ def solve_unsteady(
         for k, p in processors.items():
             if n % getattr(p, "nupdate", 1) == 0:
                 if st is None:
-                    st = get_state(state)
+                    st = get_state(to_public(state))
                 initialized[k] = p.update(initialized[k], st)
-
-    step1 = jax.jit(
-        partial(timestep, method, setup=setup, psolver=psolver, theta=theta),
-        donate_argnums=(0,),
-    )
 
     isadaptive = dt is None
     if isadaptive:
-        cfl_fn = jax.jit(partial(get_cfl_timestep, setup=setup))
         dt_cur = None
         while float(state.t) < tend - 1e-14 * max(1.0, abs(tend)):
             n = int(state.n)
             if dt_cur is None or n % n_adapt_dt == 0:
-                dt_cur = float(cfl) * float(cfl_fn(state.u))
+                dt_cur = float(cfl) * float(fns["cfl_fn"](state))
                 if dt_min is not None:
                     dt_cur = max(dt_cur, dt_min)
             dt_step = min(dt_cur, tend - float(state.t))
-            state = step1(state, jnp.asarray(dt_step, setup.dtype))
+            state = fns["step1"](state, jnp.asarray(dt_step, setup.dtype), theta)
             _update_processors(state)
     else:
         nstep = int(round((tend - tstart) / dt))
@@ -156,21 +235,12 @@ def solve_unsteady(
 
         # Scan in `chunk`-step bursts; processors flush between bursts
         # (chunk = gcd of processor nupdates, so decimation is honored).
-        @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
-        def scan_steps(state, dtj, nsteps):
-            def body(s, _):
-                return timestep(
-                    method, s, dtj, setup=setup, psolver=psolver, theta=theta
-                ), None
-
-            state, _ = jax.lax.scan(body, state, None, length=nsteps)
-            return state
-
         for c in _chunk_sizes(nstep, chunk):
-            state = scan_steps(state, dtj, c)
+            state = fns["scan_steps"](state, dtj, theta, c)
             if processors:
                 _update_processors(state)
 
+    state = to_public(state)
     outputs = {
         k: p.finalize(initialized[k], get_state(state))
         for k, p in processors.items()

@@ -1,0 +1,117 @@
+"""Ghost-free periodic fast path: must reproduce the ghosted reference
+path through solve_unsteady."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ins_tpu as ins
+from ins_tpu.ops.fastpath import fastpath_applicable
+from ins_tpu.ops.pressure import psolver_cg, psolver_spectral
+
+
+def _setup(n=32, D=2, Re=1e3, **kw):
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * D
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * D
+    return ins.Setup(x=x, boundary_conditions=bc, Re=Re, dtype=jnp.float64, **kw)
+
+
+def _u0(setup):
+    return ins.random_field(setup, kp=4, rng=jax.random.PRNGKey(0))
+
+
+def test_applicability():
+    setup = _setup()
+    ps = psolver_spectral(setup)
+    assert fastpath_applicable(setup, ins.RKMethods.RK44(), ps)
+    assert fastpath_applicable(setup, ins.LMWray3(), ps)
+    # CG solver: not spectral -> no fast path
+    assert not fastpath_applicable(setup, ins.RKMethods.RK44(), psolver_cg(setup))
+    # stretched grid -> no fast path
+    s2 = ins.Setup(
+        x=(ins.tanh_grid(0, 1, 16),) * 2,
+        boundary_conditions=((ins.DirichletBC(), ins.DirichletBC()),) * 2,
+        dtype=jnp.float64,
+    )
+    assert not fastpath_applicable(s2, ins.RKMethods.RK44(), ps)
+
+
+@pytest.mark.parametrize("method", ["rk44", "lmwray3"])
+def test_fastpath_matches_ghosted(method):
+    setup = _setup()
+    m = ins.RKMethods.RK44() if method == "rk44" else ins.LMWray3()
+    ps = psolver_spectral(setup)
+    u0 = _u0(setup)
+
+    s_fast, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0.0, 0.05), dt=1e-2, method=m, psolver=ps
+    )
+    # Force the ghosted path with the CG solver at tight tolerance
+    s_ref, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0.0, 0.05), dt=1e-2, method=m,
+        psolver=psolver_cg(setup, reltol=1e-13),
+    )
+    diff = float(jnp.max(jnp.abs(s_fast.u - s_ref.u)))
+    assert diff < 1e-9, diff
+    assert s_fast.u.shape == u0.shape  # public state is re-ghosted
+
+
+def test_fastpath_with_bodyforce_and_closure():
+    force = lambda d, x, y, t: (d == 0) * jnp.sin(2 * y)
+    setup = _setup(bodyforce=force, issteadybodyforce=True)
+    base = _setup()
+    les = _setup(closure_model=ins.smagorinsky_closure_natural(base))
+    ps = psolver_spectral(setup)
+    u0 = _u0(base)
+
+    # Bodyforce: fast (spectral) vs ghosted (CG) agree
+    sf, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0, 0.02), dt=1e-2, psolver=ps
+    )
+    sg, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0, 0.02), dt=1e-2,
+        psolver=psolver_cg(setup, reltol=1e-13),
+    )
+    assert float(jnp.max(jnp.abs(sf.u - sg.u))) < 1e-9
+
+    # Closure: fast vs ghosted agree
+    th = jnp.asarray(0.1, jnp.float64)
+    sf, _ = ins.solve_unsteady(
+        setup=les, ustart=u0, tlims=(0, 0.02), dt=1e-2, psolver=ps, theta=th
+    )
+    sg, _ = ins.solve_unsteady(
+        setup=les, ustart=u0, tlims=(0, 0.02), dt=1e-2,
+        psolver=psolver_cg(les, reltol=1e-13), theta=th,
+    )
+    assert float(jnp.max(jnp.abs(sf.u - sg.u))) < 1e-9
+
+
+def test_fastpath_3d_and_processors():
+    setup = _setup(n=16, D=3, Re=2e3)
+    ps = psolver_spectral(setup)
+    u0 = _u0(setup)
+    saver = ins.fieldsaver(nupdate=2)
+    s, out = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0, 0.04), dt=1e-2, psolver=ps,
+        processors={"f": saver},
+    )
+    assert not np.any(np.isnan(s.u))
+    assert len(out["f"]) == 2
+    # Processor states are ghosted (public layout)
+    assert out["f"][0]["u"].shape == u0.shape
+    # Ghosts satisfy periodicity
+    un = np.asarray(s.u)
+    np.testing.assert_allclose(un[:, 0], un[:, -2])
+    np.testing.assert_allclose(un[:, -1], un[:, 1])
+
+
+def test_fastpath_adaptive_dt():
+    setup = _setup(n=16)
+    ps = psolver_spectral(setup)
+    u0 = _u0(setup)
+    s, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0.0, 0.03), dt=None, cfl=0.5, psolver=ps
+    )
+    assert float(s.t) == pytest.approx(0.03, abs=1e-12)
+    assert not np.any(np.isnan(s.u))
