@@ -149,7 +149,22 @@ def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
 
     zerot = jnp.asarray(0.0, dtype)
 
+    # Without a PressureBC the Laplacian is singular (nullspace of
+    # constants): project the RHS onto range(L) = zero-sum fields, the CG
+    # analogue of the reference's nullspace augmentation [L e; e' 0]
+    # (src/pressure.jl:133-141). Keeps the solve map self-adjoint even for
+    # inconsistent inputs (e.g. AD cotangents).
+    issingular = not any(
+        isinstance(bc, PressureBC)
+        for bcs in setup.boundary_conditions
+        for bc in bcs
+    )
+    npoints = float(np.prod(g.Np))
+
     def psolve(f):
+        if issingular:
+            mean = jnp.sum(f[ip]) / npoints
+            f = f.at[ip].add(-mean)
         r = f  # initial residual (q=0)
         residual0 = jnp.sqrt(inner(r, r))
         tolerance = jnp.maximum(reltol * residual0, abstol)
@@ -176,8 +191,14 @@ def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
             return (p, r, qb, rho, residual, it + 1)
 
         p, *_ = jax.lax.while_loop(cond, body, state)
+        if issingular:
+            # Pin the nullspace gauge (zero-mean pressure): makes the
+            # solve map symmetric, P0 L+ P0, so the self-adjoint poisson
+            # VJP is exact
+            p = p.at[ip].add(-jnp.sum(p[ip]) / npoints)
         return p
 
+    psolve.is_cg = True
     return psolve
 
 

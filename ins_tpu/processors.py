@@ -261,7 +261,7 @@ def vtk_writer(*, setup, nupdate=1, dir="output", filename="solution",
     import numpy as np
 
     from .ops._stencil import slc
-    from .utils.vtk import PVDCollection, write_vtr
+    from .utils.vtk import AsyncWriter, PVDCollection, write_vtr
 
     g = setup.grid
     coords = [np.asarray(g.xp[d])[slc(g.Ip)[d]] for d in range(g.dim)]
@@ -269,6 +269,7 @@ def vtk_writer(*, setup, nupdate=1, dir="output", filename="solution",
         str(name): fieldobserver(setup, name, psolver=psolver)
         for name in fieldnames
     }
+    awriter = AsyncWriter()
 
     def initialize(state):
         os.makedirs(dir, exist_ok=True)
@@ -280,12 +281,14 @@ def vtk_writer(*, setup, nupdate=1, dir="output", filename="solution",
         tstr = f"{t:g}".replace(".", "p")
         data = {k: np.asarray(obs(state)) for k, obs in observers.items()}
         f = write_vtr(
-            os.path.join(dir, f"{filename}_t={tstr}"), coords, data, time=t
+            os.path.join(dir, f"{filename}_t={tstr}"), coords, data,
+            time=t, writer=awriter,
         )
         pvd.add(t, f)
         return pvd
 
     def finalize(pvd, state):
+        awriter.flush()
         return pvd.save()
 
     return Processor(initialize, _update, finalize, nupdate)

@@ -8,22 +8,16 @@ appended data.
 
 from __future__ import annotations
 
-import base64
 import os
-import struct
 
 import numpy as np
 
-__all__ = ["write_vtr", "PVDCollection"]
+from .native import AsyncWriter, b64_vtk as _b64_data
+
+__all__ = ["write_vtr", "PVDCollection", "AsyncWriter"]
 
 
-def _b64_data(arr: np.ndarray) -> str:
-    raw = arr.tobytes()
-    header = struct.pack("<I", len(raw))
-    return base64.b64encode(header + raw).decode()
-
-
-def write_vtr(filename, coords, pointdata, *, time=None):
+def write_vtr(filename, coords, pointdata, *, time=None, writer=None):
     """Write a rectilinear-grid VTK file.
 
     - `coords`: tuple of 1-D coordinate arrays (2 or 3 of them; 2D grids
@@ -95,8 +89,13 @@ def write_vtr(filename, coords, pointdata, *, time=None):
     parts.append("</Piece>")
     parts.append("</RectilinearGrid>")
     parts.append("</VTKFile>")
-    with open(filename, "w") as f:
-        f.write("\n".join(parts))
+    payload = "\n".join(parts).encode()
+    if writer is not None:
+        # Non-blocking: the native threaded writer owns the disk I/O
+        writer.submit(filename, payload)
+    else:
+        with open(filename, "wb") as f:
+            f.write(payload)
     return filename
 
 
