@@ -94,17 +94,16 @@ def _solve_time(setup, u0, temp0, psolver, dt, nstep):
 
     import ins_tpu as ins
 
-    # Warm (compiles)
-    ins.solve_unsteady(
-        setup=setup, ustart=u0, tempstart=temp0, tlims=(0, 2 * dt), dt=dt,
-        psolver=psolver,
-    )
+    def run():
+        state, _ = ins.solve_unsteady(
+            setup=setup, ustart=u0, tempstart=temp0, tlims=(0, nstep * dt),
+            dt=dt, psolver=psolver,
+        )
+        jax.block_until_ready(state.u)
+
+    run()  # warm: compiles the scan at this exact static length
     t0 = time.perf_counter()
-    state, _ = ins.solve_unsteady(
-        setup=setup, ustart=u0, tempstart=temp0, tlims=(0, nstep * dt),
-        dt=dt, psolver=psolver,
-    )
-    jax.block_until_ready(state.u)
+    run()
     return (time.perf_counter() - t0) / nstep
 
 
@@ -119,14 +118,17 @@ def bench_cavity(n=128, nstep=20):
         (ins.DirichletBC(), ins.DirichletBC((1.0, 0.0))),
     )
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32)
-    ps = ins.psolver_cg(setup)
-    u0 = ins.velocityfield(setup, lambda d, x, y: 0.0 * x, psolver=ps)
-    el = _solve_time(setup, u0, None, ps, 1e-3, nstep)
-    emit(
-        metric=f"lid_driven_cavity_2d_{n}c_rk44_cg",
-        value=el * 1e3,
-        unit="ms/step",
-    )
+    for label, ps in (
+        ("fdm", ins.psolver_fdm(setup)),
+        ("cg", ins.psolver_cg(setup)),
+    ):
+        u0 = ins.velocityfield(setup, lambda d, x, y: 0.0 * x, psolver=ps)
+        el = _solve_time(setup, u0, None, ps, 1e-3, nstep)
+        emit(
+            metric=f"lid_driven_cavity_2d_{n}c_rk44_{label}",
+            value=el * 1e3,
+            unit="ms/step",
+        )
 
 
 def bench_rayleigh_benard(n=64, nstep=20):
@@ -148,12 +150,12 @@ def bench_rayleigh_benard(n=64, nstep=20):
         x=x, boundary_conditions=((d, d), (d, d)), temperature=temperature,
         dtype=jnp.float32,
     )
-    ps = ins.psolver_cg(setup)
+    ps = ins.psolver_fdm(setup)
     u0 = ins.velocityfield(setup, lambda dim, x, y: 0.0 * x, psolver=ps)
     t0 = ins.temperaturefield(setup, lambda x, y: 1 - y)
     el = _solve_time(setup, u0, t0, ps, 5e-4, nstep)
     emit(
-        metric=f"rayleigh_benard_2d_{2*n}x{n}_ra1e7",
+        metric=f"rayleigh_benard_2d_{2*n}x{n}_ra1e7_fdm",
         value=el * 1e3,
         unit="ms/step",
     )

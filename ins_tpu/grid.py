@@ -105,6 +105,13 @@ def make_grid(*, x, boundary_conditions, dtype=jnp.float32) -> Grid:
     """Build staggered-grid metadata (reference `Grid`, src/grid.jl:100-276)."""
     np_dtype = np.dtype(dtype)
     eps = float(np.finfo(np_dtype).eps)
+    # Uniformity detection in float64 (working-precision coordinate
+    # rounding would mis-flag large uniform grids as stretched)
+    x64 = [np.asarray(xd, dtype=np.float64) for xd in x]
+    uniform = tuple(
+        bool(np.allclose(np.diff(xd), np.diff(xd)[0], rtol=1e-8))
+        for xd in x64
+    )
     x = [np.asarray(xd, dtype=np_dtype).copy() for xd in x]
     xlims = tuple((float(xd[0]), float(xd[-1])) for xd in x)
     D = len(x)
@@ -207,9 +214,6 @@ def make_grid(*, x, boundary_conditions, dtype=jnp.float32) -> Grid:
 
     periodic = tuple(
         isinstance(boundary_conditions[d][0], PeriodicBC) for d in range(D)
-    )
-    uniform = tuple(
-        bool(np.allclose(delta[d], delta[d][0], rtol=1e-5)) for d in range(D)
     )
 
     def dev(a):

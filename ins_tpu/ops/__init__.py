@@ -11,3 +11,4 @@ from .eddyviscosity import (  # noqa: F401
     strain_natural,
 )
 from .tensorbasis import lastdimcontract, tensorbasis  # noqa: F401
+from .fdm import psolver_fdm  # noqa: F401

@@ -1,0 +1,143 @@
+"""Fast-diagonalization (tensor-product) direct Poisson solver.
+
+The pressure Laplacian on ANY tensor-product grid (uniform or stretched,
+any BC mix) is separable: L = Omega * sum_d K_d with K_d acting along
+dimension d only. Each 1-D operator satisfies the generalized symmetric
+eigenproblem M_d v = lambda diag(Delta_d) v (M_d = diag(Delta_d) K_d is
+the symmetric volume-scaled 1-D Laplacian), so
+
+    p = (x V_d) [ (x V_d^-1) (f / Omega) / (sum_d lambda_d) ]
+
+— D tensor contractions in, a diagonal solve, D contractions out. On TPU
+every contraction is an MXU matmul: an *exact* direct solve in
+O(N^(D+1)) flops, fully jittable and differentiable, replacing hundreds
+of CG iterations on stretched/Dirichlet grids and the host-side sparse
+factorization (reference psolver_direct, src/pressure.jl:117-154, which
+does not map to TPU).
+
+Eigendecompositions are precomputed once per setup in float64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from ..boundary_conditions import PressureBC, SymmetricBC
+from ._stencil import slc
+
+__all__ = ["psolver_fdm"]
+
+
+def _one_dim_operator(setup, d):
+    """Dense 1-D operator M_d (Np_d x Np_d): row i of
+    cl[i] p[i-1] + cc[i] p[i] + cr[i] p[i+1], with the ghost closure of
+    the BC folded in (periodic wrap; SymmetricBC ghost = interior copy
+    folds into the diagonal; Dirichlet/Pressure rows already have zero
+    ghost coefficients in lap_c)."""
+    g = setup.grid
+    cl, cc, cr = (np.asarray(a, np.float64) for a in g.lap_c[d])
+    npd = g.Np[d]
+    bcl, bcr = setup.boundary_conditions[d]
+    M = np.zeros((npd, npd))
+    for i in range(npd):
+        M[i, i] = cc[i]
+        if i - 1 >= 0:
+            M[i, i - 1] = cl[i]
+        elif g.periodic[d]:
+            M[i, npd - 1] = cl[i]
+        elif isinstance(bcl, SymmetricBC):
+            M[i, i] += cl[i]  # ghost p[-1] = p[0]
+        if i + 1 < npd:
+            M[i, i + 1] = cr[i]
+        elif g.periodic[d]:
+            M[i, 0] = cr[i]
+        elif isinstance(bcr, SymmetricBC):
+            M[i, i] += cr[i]  # ghost p[np] = p[np-1]
+    return M
+
+
+def psolver_fdm(setup, *, nrefine=None):
+    """Direct Poisson solver by fast diagonalization (see module docs).
+
+    `nrefine`: iterative-refinement steps `p += L~^-1 (f - L p)` to squash
+    working-precision transform error (defaults to 1 in float32 — rel
+    error ~1e-5 -> ~1e-9 on strongly stretched grids — and 0 in float64).
+    """
+    g = setup.grid
+    D = g.dim
+    dtype = setup.dtype
+    ip = slc(g.Ip)
+    if nrefine is None:
+        nrefine = 1 if dtype == jnp.float32 else 0
+
+    Vs, Vinvs, lams = [], [], []
+    for d in range(D):
+        delta = np.asarray(g.delta[d], np.float64)[g.Ip[d][0] : g.Ip[d][1]]
+        # K_d = diag(1/delta) T_d with T_d the (symmetric) tridiagonal of
+        # lap_c rows; generalized eigenproblem T v = lam diag(delta) v
+        M = _one_dim_operator(setup, d)
+        assert np.allclose(M, M.T, atol=1e-12), "1-D operator not symmetric"
+        lam, V = scipy.linalg.eigh(M, np.diag(delta))
+        # V is delta-orthonormal: V^T diag(delta) V = I -> V^-1 = V^T diag(delta)
+        Vs.append(jnp.asarray(V, dtype))
+        Vinvs.append(jnp.asarray(V.T * delta[None, :], dtype))
+        lams.append(lam)
+
+    # Eigenvalue denominator sum_d lam_d (broadcast over the box)
+    denom = np.zeros(g.Np)
+    for d in range(D):
+        denom = denom + lams[d].reshape(
+            [-1 if i == d else 1 for i in range(D)]
+        )
+    issingular = not any(
+        isinstance(bc, PressureBC)
+        for bcs in setup.boundary_conditions
+        for bc in bcs
+    )
+    # Zero (nullspace) modes: pin to zero like the spectral solver's k=0
+    small = np.abs(denom) < 1e-8 * np.max(np.abs(denom))
+    denom_safe = np.where(small, 1.0, denom)
+    inv_denom = jnp.asarray(
+        np.where(small, 0.0, 1.0 / denom_safe), dtype
+    )
+
+    # Volume weights over the DOF box
+    om = np.ones(g.Np)
+    for d in range(D):
+        delta = np.asarray(g.delta[d], np.float64)[g.Ip[d][0] : g.Ip[d][1]]
+        om = om * delta.reshape([-1 if i == d else 1 for i in range(D)])
+    inv_om = jnp.asarray(1.0 / om, dtype)
+
+    def _contract(x, mats):
+        # Apply mats[d] along dimension d: x <- mats[d] @_d x
+        for d in range(D):
+            x = jnp.tensordot(mats[d], x, axes=([1], [d]))
+            x = jnp.moveaxis(x, 0, d)
+        return x
+
+    def _solve_box(fbox):
+        fhat = _contract(fbox * inv_om, Vinvs)
+        return _contract(fhat * inv_denom, Vs)
+
+    def psolve(p):
+        from ..boundary_conditions import apply_bc_p
+        from .operators import laplacian
+
+        f = p[ip]
+        sol = _solve_box(f)
+        for _ in range(nrefine):
+            pb = apply_bc_p(
+                jnp.zeros(g.N, p.dtype).at[ip].set(sol),
+                jnp.asarray(0.0, p.dtype),
+                setup,
+            )
+            r = f - laplacian(pb, setup)[ip]
+            sol = sol + _solve_box(r)
+        return p.at[ip].set(sol.astype(p.dtype))
+
+    psolve.is_fdm = True
+    psolve.is_direct = True
+    return psolve

@@ -50,14 +50,18 @@ __all__ = [
 
 
 def default_psolver(setup):
-    """Spectral on uniform periodic grids, CG otherwise
-    (selection logic of src/pressure.jl:85-98; the reference picks a
-    sparse direct solve where we pick matrix-free CG — a factorization
-    does not map to TPU; `psolver_direct` remains available)."""
+    """Spectral on uniform periodic grids, fast-diagonalization direct
+    solve otherwise (selection logic mirrors src/pressure.jl:85-98:
+    spectral iff uniform periodic, else a direct solver — here the
+    MXU-based tensor-product diagonalization of ops/fdm.py instead of a
+    sparse factorization, which does not map to TPU). `psolver_cg` and
+    `psolver_direct` remain available."""
     g = setup.grid
     if all(g.periodic) and all(g.uniform):
         return psolver_spectral(setup)
-    return psolver_cg(setup)
+    from .fdm import psolver_fdm
+
+    return psolver_fdm(setup)
 
 
 # --------------------------------------------------------------------------
