@@ -30,7 +30,7 @@ def run(quick=False, outdir=None):
         ins.cosine_grid(-0.5, 0.5, ny),
     )
     setup = ins.Setup(x=x, Re=3e3, boundary_conditions=bc, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(
         setup, lambda d, x, y: U(d, x, y, 0.0), psolver=psolver
     )

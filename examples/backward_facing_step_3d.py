@@ -31,7 +31,7 @@ def run(quick=False, outdir=None):
         np.linspace(-0.25, 0.25, nz + 1),
     )
     setup = ins.Setup(x=x, Re=3e3, boundary_conditions=bc, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(
         setup, lambda d, x, y, z: U(d, x, y, z, 0.0), psolver=psolver
     )

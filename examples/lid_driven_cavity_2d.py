@@ -18,7 +18,7 @@ def run(quick=False, outdir=None):
         (ins.DirichletBC(), ins.DirichletBC(lid)),
     )
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda d, x, y: 0.0 * x, psolver=psolver)
     state, _ = ins.solve_unsteady(
         setup=setup, ustart=u0, tlims=(0.0, tend), dt=1e-3, psolver=psolver,

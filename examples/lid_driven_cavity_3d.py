@@ -17,7 +17,7 @@ def run(quick=False, outdir=None):
     d = ins.DirichletBC()
     bc = ((d, d), (d, ins.DirichletBC(lid)), (ins.PeriodicBC(), ins.PeriodicBC()))
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda d_, x, y, z: 0.0 * x, psolver=psolver)
     state, _ = ins.solve_unsteady(
         setup=setup, ustart=u0, tlims=(0.0, tend), dt=1e-3, psolver=psolver,

@@ -39,7 +39,7 @@ def run(quick=False, outdir=None):
         x=x, Re=100.0, boundary_conditions=bc, bodyforce=bodyforce,
         issteadybodyforce=True, dtype=jnp.float32,
     )
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(
         setup, lambda d, x, y: inflow(d, x, y, 0.0), psolver=psolver
     )

@@ -30,7 +30,7 @@ def run(quick=False, outdir=None):
         np.linspace(-32.0, 32.0, n),
     )
     setup = ins.Setup(x=x, Re=500.0, boundary_conditions=bc, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda d, x, y: U(d, x, y, 0.0), psolver=psolver)
     state, _ = ins.solve_unsteady(
         setup=setup, ustart=u0, tlims=(0.0, tend), dt=0.1,

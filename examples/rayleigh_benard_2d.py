@@ -51,7 +51,7 @@ def run(quick=False, outdir=None):
         x=x, boundary_conditions=((d, d), (d, d)), temperature=temperature,
         dtype=jnp.float32,
     )
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda dim, x, y: 0.0 * x, psolver=psolver)
     key = jax.random.PRNGKey(0)
     temp0 = ins.temperaturefield(

@@ -34,7 +34,7 @@ def run(quick=False, outdir=None):
     setup = ins.Setup(
         x=x, boundary_conditions=bc, temperature=temperature, dtype=jnp.float32
     )
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda dim, x, y, z: 0.0 * x, psolver=psolver)
     temp0 = ins.temperaturefield(
         setup, lambda x, y, z: 1 - z + 0.001 * jnp.sin(10 * jnp.pi * x)

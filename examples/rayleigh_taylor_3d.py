@@ -34,7 +34,7 @@ def run(quick=False, outdir=None):
         x=x, boundary_conditions=((d, d), (d, d), (d, d)),
         temperature=temperature, dtype=jnp.float32,
     )
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
     u0 = ins.velocityfield(setup, lambda dim, x, y, z: 0.0 * x, psolver=psolver)
     temp0 = ins.temperaturefield(
         setup,

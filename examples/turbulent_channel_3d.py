@@ -33,7 +33,7 @@ def run(quick=False, outdir=None):
         issteadybodyforce=True,
         dtype=jnp.float32,
     )
-    psolver = ins.psolver_cg(setup)
+    psolver = ins.default_psolver(setup)
 
     def ufunc(dim, x, y, z):
         base = jnp.where(dim == 0, 6.0 * z * (2.0 - z) / 2.0**2, 0.0)

@@ -29,4 +29,5 @@ from .training import (  # noqa: F401
     create_relerr_symmetry_prior,
     create_trainstate,
     train,
+    trainepoch,
 )

@@ -25,6 +25,7 @@ __all__ = [
     "create_dataloader_prior",
     "create_dataloader_post",
     "train",
+    "trainepoch",
     "create_loss_prior",
     "create_relerr_prior",
     "create_loss_post",
@@ -127,6 +128,51 @@ def train(
         trainstate = dict(
             opt=opt, optstate=optstate, theta=theta, rng=rng
         )
+        if callback is not None:
+            callbackstate = callback(callbackstate, trainstate)
+    return dict(trainstate=trainstate, callbackstate=callbackstate)
+
+
+def trainepoch(
+    *,
+    data,
+    batchsize,
+    loss,
+    trainstate,
+    callback=None,
+    callbackstate=None,
+    noiselevel=None,
+    lam=None,
+):
+    """One pass over the full (x, y) dataset in shuffled minibatches, with
+    optional input noise injection (reference trainepoch,
+    training.jl:68-101)."""
+    x, y = data
+    opt = trainstate["opt"]
+
+    @jax.jit
+    def step(theta, optstate, xb, yb):
+        l, g = jax.value_and_grad(lambda th: loss((xb, yb), th))(theta)
+        if lam is not None:
+            g = jax.tree.map(lambda gi, ti: gi + lam * ti, g, theta)
+        updates, optstate = opt.update(g, optstate, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, optstate, l
+
+    rng = trainstate["rng"]
+    rng, k = jax.random.split(rng)
+    order = np.asarray(jax.random.permutation(k, x.shape[0]))
+    nbatch = x.shape[0] // batchsize
+    theta, optstate = trainstate["theta"], trainstate["optstate"]
+    for b in range(nbatch):
+        i = np.sort(order[b * batchsize : (b + 1) * batchsize])
+        xb = jnp.asarray(x[i])
+        yb = jnp.asarray(y[i])
+        if noiselevel is not None:
+            rng, k = jax.random.split(rng)
+            xb = xb + noiselevel * jax.random.normal(k, xb.shape, xb.dtype)
+        theta, optstate, l = step(theta, optstate, xb, yb)
+        trainstate = dict(opt=opt, optstate=optstate, theta=theta, rng=rng)
         if callback is not None:
             callbackstate = callback(callbackstate, trainstate)
     return dict(trainstate=trainstate, callbackstate=callbackstate)

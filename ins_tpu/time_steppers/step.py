@@ -20,6 +20,7 @@ from ..ops.pressure import project
 from .methods import (
     AdamsBashforthCrankNicolsonMethod,
     ExplicitRungeKuttaMethod,
+    ImplicitRungeKuttaMethod,
     LMWray3,
     OneLegMethod,
 )
@@ -72,6 +73,13 @@ def timestep(method, state, dt, *, setup, psolver, theta=None):
 
         return timestep_oneleg(
             method, state, dt, setup=setup, psolver=psolver, theta=theta
+        )
+    if isinstance(method, ImplicitRungeKuttaMethod):
+        from .implicit_rk import timestep_irk
+
+        return timestep_irk(
+            method, state, dt, setup=setup, psolver=psolver, theta=theta,
+            niter=method.maxiter,
         )
     raise NotImplementedError(f"timestep not implemented for {type(method)}")
 

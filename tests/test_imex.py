@@ -92,3 +92,65 @@ def test_abcn_divergence_free():
     )
     div = ins.divergence(state.u, setup)
     assert float(jnp.max(jnp.abs(div))) < 1e-9
+
+
+def test_implicit_rk_backward_euler_and_midpoint():
+    """Implicit RK (Picard stages): BE11 is 1st order, GL1 (implicit
+    midpoint) is 2nd order on the TGV decay; both unconditionally stable
+    at the tested dt."""
+    from ins_tpu.time_steppers.rk_methods import BE11, GL1
+
+    n, tend = 32, 0.4
+    setup = _tgv_setup(n, Re=50.0)
+    u0 = _tgv_u(setup, 0.0)
+
+    def run(method, dt):
+        state, _ = ins.solve_unsteady(
+            setup=setup, ustart=u0, tlims=(0.0, tend), dt=dt, method=method
+        )
+        return state.u
+
+    # Fine-dt reference on the same grid isolates the temporal error
+    uref = run(ins.RKMethods.RK44(), 1.25e-3)
+    errs = {
+        dt: float(jnp.linalg.norm(run(BE11(), dt) - uref) / jnp.linalg.norm(uref))
+        for dt in (4e-2, 2e-2)
+    }
+    assert errs[4e-2] < 0.05
+    rate = np.log2(errs[4e-2] / errs[2e-2])
+    assert 0.7 < rate < 1.4, (errs, rate)  # BE: 1st order in time
+
+    # Implicit midpoint: markedly more accurate than BE at the same dt
+    em = float(jnp.linalg.norm(run(GL1(), 2e-2) - uref) / jnp.linalg.norm(uref))
+    assert em < errs[2e-2] / 5, (em, errs)
+
+
+def test_trainepoch():
+    import jax as _jax
+
+    import ins_tpu.models as nc
+
+    x = np.random.default_rng(0).standard_normal((20, 8, 8, 2)).astype(np.float32)
+    y = 0.5 * x
+    # trivial linear closure
+    import flax.linen as nn
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, v):
+            w = self.param("w", nn.initializers.zeros, ())
+            return w * v
+
+    mod = Lin()
+    theta = mod.init(_jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+    f = lambda v, th: mod.apply({"params": th}, v)
+    loss = nc.create_loss_prior(f)
+    ts = nc.create_trainstate(theta, lr=0.2, rng=_jax.random.PRNGKey(1))
+    for _ in range(30):
+        out = nc.trainepoch(
+            data=(x, y), batchsize=5, loss=loss, trainstate=ts,
+            noiselevel=None,
+        )
+        ts = out["trainstate"]
+    w = float(ts["theta"]["w"])
+    assert abs(w - 0.5) < 0.05, w
