@@ -211,9 +211,15 @@ def _with_closure(setup, closure_model):
     )
 
 
-def _unrolled_errors(u, t, theta, *, setup, method, psolver, nsubstep, sqrt_each):
+def _unrolled_errors(
+    u, t, theta, *, setup, method, psolver, nsubstep, sqrt_each, remat=False
+):
     """Shared unroll: step the LES solver with closure from u[0] along the
-    stored time stamps, accumulating relative errors on the DOF box."""
+    stored time stamps, accumulating relative errors on the DOF box.
+
+    `remat=True` wraps each solver step in `jax.checkpoint`, trading
+    recompute for activation memory — required for long unrolls
+    (SURVEY.md §7 "grad-through-scan memory")."""
     g = setup.grid
     inside = g.Iu[0]
     sl = (slice(None),) + tuple(slice(s, e) for (s, e) in inside)
@@ -222,22 +228,32 @@ def _unrolled_errors(u, t, theta, *, setup, method, psolver, nsubstep, sqrt_each
     state = StepperState(
         u=ules, temp=None, t=t[0], n=jnp.asarray(0)
     )
+
+    def one_step(state, dt, theta):
+        return timestep(
+            method, state, dt, setup=setup, psolver=psolver, theta=theta
+        )
+
+    if remat:
+        one_step = jax.checkpoint(one_step)
+
     total = jnp.asarray(0.0, setup.dtype)
     for it in range(1, nt):
         dt = (t[it] - t[it - 1]) / nsubstep
         for _ in range(nsubstep):
-            state = timestep(
-                method, state, dt, setup=setup, psolver=psolver, theta=theta
-            )
+            state = one_step(state, dt, theta)
         a = jnp.sum((state.u[sl] - u[it][sl]) ** 2)
         b = jnp.sum(u[it][sl] ** 2)
         total = total + (jnp.sqrt(a / b) if sqrt_each else a / b)
     return total / (nt - 1)
 
 
-def create_loss_post(*, setup, method, psolver, closure_model, nsubstep=1):
+def create_loss_post(
+    *, setup, method, psolver, closure_model, nsubstep=1, remat=False
+):
     """A-posteriori loss: relative trajectory error of the unrolled
-    differentiable solver (reference training.jl:116-141)."""
+    differentiable solver (reference training.jl:116-141). `remat=True`
+    checkpoints each step (long unrolls)."""
     setup_c = _with_closure(setup, closure_model)
 
     def loss_post(data, theta):
@@ -252,6 +268,7 @@ def create_loss_post(*, setup, method, psolver, closure_model, nsubstep=1):
                 psolver=psolver,
                 nsubstep=nsubstep,
                 sqrt_each=False,
+                remat=remat,
             )
         return total / len(data)
 

@@ -6,4 +6,5 @@ fresh for TPU: spatial sharding of `(D, *N)` fields over a
 closure training.
 """
 
+from .halo import make_halo_fast_step, shard_interior  # noqa: F401
 from .mesh import make_mesh, shard_state, spatial_sharding  # noqa: F401

@@ -243,3 +243,28 @@ def test_gaussian_force():
     f = nc.gaussian_force(setup, rng=jax.random.PRNGKey(5))
     assert f.shape == (2, *setup.grid.N)
     assert abs(float(jnp.mean(f))) < 1e-12
+
+
+def test_loss_post_remat_matches():
+    """Checkpointed (remat) a-posteriori loss gives identical values and
+    gradients to the plain unroll."""
+    les = _setup(16)
+    closure, theta = nc.cnn(
+        setup=les, radii=[1], channels=[2],
+        activations=[lambda x: x], use_bias=[False],
+        rng=jax.random.PRNGKey(5),
+    )
+    m = nc.wrappedclosure(closure, les)
+    ps = ins.psolver_spectral(les)
+    u0 = ins.random_field(les, kp=3, rng=jax.random.PRNGKey(6))
+    traj = [dict(
+        u=jnp.stack([u0, u0 * 0.99, u0 * 0.98, u0 * 0.97]),
+        t=jnp.arange(4, dtype=les.dtype) * 1e-2,
+    )]
+    l0 = nc.create_loss_post(setup=les, method=RK44(), psolver=ps, closure_model=m)
+    l1 = nc.create_loss_post(setup=les, method=RK44(), psolver=ps, closure_model=m, remat=True)
+    v0, g0 = jax.value_and_grad(lambda th: l0(traj, th))(theta)
+    v1, g1 = jax.value_and_grad(lambda th: l1(traj, th))(theta)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
