@@ -27,7 +27,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["convdiff_periodic_uniform_3d", "pallas_supported"]
+__all__ = [
+    "convdiff_periodic_uniform_3d",
+    "convdiff_interior_3d",
+    "pallas_supported",
+]
 
 
 def pallas_supported(setup):
@@ -91,6 +95,37 @@ def _convdiff3d_kernel(u_hbm, f_out, scratch, sem, *, visc, dx, bx):
                 uba2 = 0.5 * (ub_c + ub_pa)
             f -= (uab2 * uba2 - uab1 * uba1) / dx[b]
         f_out[a, :, :, :] = f
+
+
+def convdiff_interior_3d(u_int, visc, dx, *, bx=None, interpret=False):
+    """Fused convection+diffusion on the ghost-free interior field
+    (3, n, n, n) — the fast-path layout. Pads x by periodic wrap, runs the
+    slab kernel, returns interior-shaped F."""
+    D, n, ny, nz = u_int.shape
+    assert D == 3 and n == ny == nz
+    if bx is None:
+        # VMEM heuristic: slab scratch 3*(bx+2)*n^2*4B plus temporaries
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    up = jnp.concatenate([u_int[:, -1:], u_int, u_int[:, :1]], axis=1)
+    kernel = functools.partial(
+        _convdiff3d_kernel, visc=float(visc), dx=tuple(map(float, dx)), bx=bx
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, bx + 2, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(up)
 
 
 def convdiff_periodic_uniform_3d(u, visc, dx, *, bx=8, interpret=False):
