@@ -1,48 +1,43 @@
-"""Headline benchmark: DecayingTurbulence3D, 128^3, Float32, RK44, spectral
-pressure solver — the reference's de-facto performance configuration
+"""Headline benchmark: DecayingTurbulence3D, 256^3 (north star per
+BASELINE.json) plus 128^3, Float32, RK44, spectral pressure projection —
+the reference's de-facto performance configuration
 (examples/DecayingTurbulence3D.jl:15-38; BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 `vs_baseline` is measured against an assumed A100 anchor of 1.0e8
-cell-updates/s/chip for this configuration (the reference publishes no
-numbers — BASELINE.md documents the absence; this anchor approximates an
-optimized CUDA run of the same 4-stage RK + FFT-projection step at 128^3).
+cell-updates/s/chip (the reference publishes no numbers — BASELINE.md
+documents the absence; this anchor approximates an optimized CUDA run of
+the same 4-stage RK + FFT-projection step).
 """
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import ins_tpu as ins
-from ins_tpu.time_steppers.step import timestep, create_stepper
+from ins_tpu.time_steppers.step import create_stepper
 
-N = 128
-NSTEP_WARMUP = 5
-NSTEP = 20
 BASELINE_CUPS = 1.0e8  # assumed A100-parity anchor (cell-updates/s/chip)
 
 
-def main():
+def run_case(N, nwarm, nstep):
     dtype = jnp.float32
     lims = (0.0, 2 * np.pi)
     x = tuple(np.linspace(*lims, N + 1) for _ in range(3))
     bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=4000.0, dtype=dtype)
     psolver = ins.psolver_spectral(setup)
-    # One jit for the whole initializer: eager dispatch is expensive under
-    # remote-compile tunnels
     u0 = jax.jit(lambda key: ins.random_field(setup, kp=10, rng=key))(
         jax.random.PRNGKey(1)
     )
 
     method = ins.RKMethods.RK44()
-    dt = jnp.asarray(1e-3, dtype)
-
-    from functools import partial
+    dt = jnp.asarray(1e-3 * 128 / N, dtype)
 
     from ins_tpu.ops.fastpath import (
         fastpath_applicable,
@@ -59,27 +54,37 @@ def main():
 
     state = create_stepper(method, setup=setup, psolver=psolver, u=u0)
     state = state._replace(u=jax.jit(strip_ghosts)(state.u))
-    for _ in range(NSTEP_WARMUP):
+    for _ in range(nwarm):
         state = step(state)
     jax.block_until_ready(state.u)
 
     t0 = time.perf_counter()
-    for _ in range(NSTEP):
+    for _ in range(nstep):
         state = step(state)
     jax.block_until_ready(state.u)
     elapsed = time.perf_counter() - t0
 
     assert bool(jnp.all(jnp.isfinite(state.u))), "NaN in benchmark run"
+    cups = N**3 * nstep / elapsed
+    return cups, elapsed / nstep * 1e3
 
-    cells = N**3
-    cups = cells * NSTEP / elapsed
+
+def main():
+    cups128, ms128 = run_case(128, 5, 20)
+    cups256, ms256 = run_case(256, 5, 20)
     print(
         json.dumps(
             {
-                "metric": "DecayingTurbulence3D_128c_rk44_cell_updates_per_s",
-                "value": cups,
+                "metric": "DecayingTurbulence3D_256c_rk44_cell_updates_per_s",
+                "value": cups256,
                 "unit": "cell-updates/s/chip",
-                "vs_baseline": cups / BASELINE_CUPS,
+                "vs_baseline": cups256 / BASELINE_CUPS,
+                "extra": {
+                    "ms_per_step_256": ms256,
+                    "cups_128": cups128,
+                    "ms_per_step_128": ms128,
+                    "vs_baseline_128": cups128 / BASELINE_CUPS,
+                },
             }
         )
     )

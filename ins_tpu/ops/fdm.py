@@ -112,9 +112,14 @@ def psolver_fdm(setup, *, nrefine=None):
     inv_om = jnp.asarray(1.0 / om, dtype)
 
     def _contract(x, mats):
-        # Apply mats[d] along dimension d: x <- mats[d] @_d x
+        # Apply mats[d] along dimension d: x <- mats[d] @_d x.
+        # Precision.HIGHEST: TPU default (1-pass bf16) loses ~3 digits on
+        # these ill-conditioned transforms; HIGHEST restores f32 accuracy
+        # at negligible cost (the contractions stay memory-bound).
         for d in range(D):
-            x = jnp.tensordot(mats[d], x, axes=([1], [d]))
+            x = jnp.tensordot(
+                mats[d], x, axes=([1], [d]), precision=jax.lax.Precision.HIGHEST
+            )
             x = jnp.moveaxis(x, 0, d)
         return x
 

@@ -567,19 +567,21 @@ def get_scale_numbers(u, setup):
     # Integral length scale via spectrum (uniform periodic only)
     K = tuple(n // 2 for n in g.Np)
     up = jnp.stack([u[a][ipslc] for a in range(D)])
-    uhat = jnp.fft.fftn(up, axes=range(1, D + 1))
+    from .dft import fftn  # per-axis on TPU (fused 3D FFT inaccurate there)
+
+    uhat = fftn(up, axes=tuple(range(1, D + 1)))
     uhat = uhat[(slice(None),) + tuple(slice(0, k) for k in K)]
     e = jnp.abs(uhat) ** 2 / (2 * float(np.prod(g.Np)) ** 2)
     kk = sum(
-        jnp.reshape(
-            jnp.arange(K[d], dtype=dtype) ** 2,
+        np.reshape(
+            np.arange(K[d], dtype=np.float64) ** 2,
             tuple(K[d] if i == d else 1 for i in range(D)),
         )
         for d in range(D)
     )
-    knorm = jnp.sqrt(kk)
-    e = jnp.sum(e, axis=0) / jnp.maximum(knorm, 1e-30)
-    e = e.at[(0,) * D].set(0.0)
+    inv_knorm = 1.0 / np.sqrt(np.where(kk == 0, 1.0, kk))
+    inv_knorm[(0,) * D] = 0.0  # origin mode folded in (no runtime scatter)
+    e = jnp.sum(e, axis=0) * jnp.asarray(inv_knorm, dtype)
     L = 3 * np.pi / 2 / uavg_sq * jnp.sum(e)
     tau = L / uavg
     re_int = L * uavg / visc

@@ -84,6 +84,22 @@ def psolver_spectral(setup):
     Np = g.Np
     dx = [float(np.asarray(g.delta[d])[0]) for d in range(D)]
     vol = float(np.prod(dx))
+
+    from .dft import backend_is_cpu, make_poisson_mm
+
+    if not backend_is_cpu():
+        # On accelerators the same diagonalization runs as MXU matmuls:
+        # ~2x faster than XLA's fused TPU FFT at 256^3 and exact to f32
+        # (the fused 3D FFT there has 0.33 rel error — see ops/dft.py).
+        solve_mm = make_poisson_mm(Np, dx, dtype)
+        ip_mm = slc(setup.grid.Ip)
+
+        def psolve_mm(p):
+            sol = solve_mm(p[ip_mm]).astype(p.dtype)
+            return p.at[ip_mm].set(sol)
+
+        psolve_mm.is_spectral = True
+        return psolve_mm
     kmax = tuple(Np[d] // 2 + 1 if d == D - 1 else Np[d] for d in range(D))
     # Denominator sum_d 4 Ω sin²(π k_d / N_d) / Δx_d²
     denom = np.zeros(kmax, dtype=np.float64)
@@ -92,8 +108,13 @@ def psolver_spectral(setup):
         a = 4.0 * vol * np.sin(np.pi * k / Np[d]) ** 2 / dx[d] ** 2
         denom = denom + a.reshape(tuple(-1 if i == d else 1 for i in range(D)))
     denom_flat = denom.copy()
-    denom_flat[(0,) * D] = 1.0  # avoid 0/0; k=0 mode is zeroed below
-    inv_denom = jnp.asarray(-1.0 / denom_flat, dtype)
+    denom_flat[(0,) * D] = 1.0  # avoid 0/0
+    inv = -1.0 / denom_flat
+    # Zero-mean pressure: fold the k=0 pin into the multiplier. A runtime
+    # `.at[(0,)*D].set(0)` scatter on the complex spectrum defeats XLA's
+    # FFT fusion on TPU (measured 7x slower projection at 256^3).
+    inv[(0,) * D] = 0.0
+    inv_denom = jnp.asarray(inv, dtype)
 
     ip = slc(setup.grid.Ip)
 
@@ -101,7 +122,6 @@ def psolver_spectral(setup):
         f = p[ip]
         fhat = jnp.fft.rfftn(f)
         phat = fhat * inv_denom
-        phat = phat.at[(0,) * D].set(0.0)  # zero-mean pressure
         sol = jnp.fft.irfftn(phat, f.shape).astype(p.dtype)
         return p.at[ip].set(sol)
 

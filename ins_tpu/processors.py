@@ -126,9 +126,10 @@ def get_streamfunction(u, setup):
     ky = np.fft.rfftfreq(Np[1]) * 2 * np.pi / dx[1]
     k2 = kx[:, None] ** 2 + ky[None, :] ** 2
     k2[0, 0] = 1.0
+    inv_k2 = 1.0 / k2
+    inv_k2[0, 0] = 0.0  # zero-mean mode folded in (no runtime scatter)
     what = jnp.fft.rfftn(wi)
-    psihat = what / jnp.asarray(k2, what.dtype)
-    psihat = psihat.at[0, 0].set(0.0)
+    psihat = what * jnp.asarray(inv_k2, what.dtype)
     psi = jnp.fft.irfftn(psihat, wi.shape).astype(u.dtype)
     out = jnp.zeros(g.N, u.dtype)
     return out.at[ip].set(psi)
@@ -217,8 +218,10 @@ def observespectrum(setup, *, nupdate=1, npoint=100):
     @jax.jit
     def ehat_of(u):
         e = 0.0
+        from .ops.dft import fftn  # per-axis on TPU (fused 3D inaccurate)
+
         for a in range(D):
-            uhat = jnp.fft.fftn(u[a][ip])
+            uhat = fftn(u[a][ip])
             uhat = uhat[tuple(slice(0, k) for k in K)]
             e = e + jnp.abs(uhat) ** 2 / (2 * float(np.prod(g.Np)) ** 2)
         return masks.astype(u.dtype) @ e.reshape(-1)
