@@ -5,7 +5,14 @@ Functional ports of the *math* of IncompressibleNavierStokes.jl
 versions are written against its removed v1 API and are not callable;
 the governing equations are specified in methods.jl:6-132). The implicit
 diffusion solve runs as matrix-free CG under jit (a cached LU does not map
-to TPU). History startup uses `u_{-1} = u_0` (first step first-order).
+to TPU).
+
+Startup: both methods need one step of history. Like the reference
+(methods.jl:74-132 `method_startup`; step_one_leg.jl:18-30), the first
+step is taken with a one-step startup method (default RK44) under a
+`lax.cond` on the step counter, which restores full order from step one;
+passing `method_startup=False` keeps the cheap first-order
+`u_{-1} = u_0` startup.
 """
 
 from __future__ import annotations
@@ -116,8 +123,56 @@ def create_stepper_abcn(method, *, setup, psolver, u, temp, t):
     )
 
 
+def _resolve_startup(method):
+    ms = method.method_startup
+    if ms is None:
+        from .rk_methods import RK44
+
+        return RK44()
+    return ms or None  # False disables the startup step
+
+
+def _startup_step(method_startup, u0, t0, dt, setup, psolver, theta):
+    """One step of the startup method from (u0, t0); returns u1."""
+    from .step import StepperState, timestep
+
+    s = StepperState(
+        u=u0, temp=None, t=t0, n=jnp.asarray(0, jnp.int32)
+    )
+    return timestep(
+        method_startup, s, dt, setup=setup, psolver=psolver, theta=theta
+    ).u
+
+
 def timestep_abcn(method, state, dt, *, setup, psolver, theta=None):
-    """One IMEX AB-CN step (methods.jl:6-73)."""
+    """One IMEX AB-CN step (methods.jl:6-73); the n==0 step runs the
+    startup method (reference step_ab_cn.jl:27-60)."""
+    startup = _resolve_startup(method)
+    if startup is not None:
+
+        def _first(state):
+            u0, _, t0, n, c_prev, p0 = state
+            u1 = _startup_step(startup, u0, t0, dt, setup, psolver, theta)
+            t1 = t0 + dt
+            # history for the first real AB step: convection at (u0, t0)
+            c0 = convection(apply_bc_u(u0, t0, setup), setup)
+            p1 = pressure(u1, None, t1, setup, psolver=psolver)
+            return ABCNState(
+                u=u1, temp=None, t=t1, n=n + 1, c_prev=c0, p=p1
+            )
+
+        def _rest(state):
+            return _timestep_abcn_inner(
+                method, state, dt, setup=setup, psolver=psolver, theta=theta
+            )
+
+        return jax.lax.cond(state.n == 0, _first, _rest, state)
+    return _timestep_abcn_inner(
+        method, state, dt, setup=setup, psolver=psolver, theta=theta
+    )
+
+
+def _timestep_abcn_inner(method, state, dt, *, setup, psolver, theta=None):
     a1, a2, th = method.alpha1, method.alpha2, method.theta
     u0, _, t0, n, c_prev, p0 = state
     t1 = t0 + dt
@@ -166,7 +221,33 @@ def create_stepper_oneleg(method, *, setup, psolver, u, temp, t):
 
 
 def timestep_oneleg(method, state, dt, *, setup, psolver, theta=None):
-    """One explicit one-leg beta step (Verstappen; methods.jl:90-125)."""
+    """One explicit one-leg beta step (Verstappen; methods.jl:90-125); the
+    n==0 step runs the startup method (reference step_one_leg.jl:18-30)."""
+    startup = _resolve_startup(method)
+    if startup is not None:
+
+        def _first(state):
+            u0, _, t0, n, u_prev, p0, p_prev = state
+            u1 = _startup_step(startup, u0, t0, dt, setup, psolver, theta)
+            t1 = t0 + dt
+            p1 = pressure(u1, None, t1, setup, psolver=psolver)
+            return OneLegState(
+                u=u1, temp=None, t=t1, n=n + 1,
+                u_prev=u0, p=p1, p_prev=p0,
+            )
+
+        def _rest(state):
+            return _timestep_oneleg_inner(
+                method, state, dt, setup=setup, psolver=psolver, theta=theta
+            )
+
+        return jax.lax.cond(state.n == 0, _first, _rest, state)
+    return _timestep_oneleg_inner(
+        method, state, dt, setup=setup, psolver=psolver, theta=theta
+    )
+
+
+def _timestep_oneleg_inner(method, state, dt, *, setup, psolver, theta=None):
     beta = method.beta
     u0, _, t0, n, u_prev, p0, p_prev = state
     t1 = t0 + dt

@@ -76,6 +76,9 @@ class AdamsBashforthCrankNicolsonMethod:
     alpha2: float = -0.5
     theta: float = 0.5
     p_add_solve: bool = True
+    # First step runs this one-step method to build the AB history at
+    # full order (reference methods.jl:74-88). None -> RK44; False ->
+    # first-order `c_{-1} = c_0` startup.
     method_startup: object = None
 
 
@@ -86,6 +89,8 @@ class OneLegMethod:
 
     beta: float = 0.5
     p_add_solve: bool = True
+    # First step runs this one-step method (reference methods.jl:126-132).
+    # None -> RK44; False -> first-order `u_{-1} = u_0` startup.
     method_startup: object = None
 
 
