@@ -46,7 +46,12 @@ from .utils.checkpoint import (  # noqa: F401
     save_checkpoint,
 )
 from .setup import Setup, Temperature, temperature_equation  # noqa: F401
-from .solver import get_cfl_timestep, get_state, solve_unsteady  # noqa: F401
+from .solver import (  # noqa: F401
+    SolverDivergedError,
+    get_cfl_timestep,
+    get_state,
+    solve_unsteady,
+)
 from .time_steppers import (  # noqa: F401
     LMWray3,
     RKMethods,

@@ -24,7 +24,26 @@ from .time_steppers.methods import ExplicitRungeKuttaMethod
 from .time_steppers.rk_methods import RK44
 from .time_steppers.step import StepperState, create_stepper, timestep
 
-__all__ = ["solve_unsteady", "get_cfl_timestep", "get_state"]
+__all__ = [
+    "solve_unsteady",
+    "get_cfl_timestep",
+    "get_state",
+    "SolverDivergedError",
+]
+
+
+class SolverDivergedError(RuntimeError):
+    """A run produced non-finite fields (SURVEY §5.3 failure detection).
+
+    Carries the last finite state (`state`, a dict like `get_state`'s) so
+    the caller can inspect or resume from it, and `checkpoint` — the path
+    of the emergency checkpoint written when a `checkpointer` processor
+    was attached (SURVEY §5.4 wiring)."""
+
+    def __init__(self, msg, state=None, checkpoint=None):
+        super().__init__(msg)
+        self.state = state
+        self.checkpoint = checkpoint
 
 
 def get_state(stepper: StepperState):
@@ -94,6 +113,7 @@ def solve_unsteady(
     docopy=True,
     max_chunk=256,
     mesh=None,
+    nan_guard=True,
 ):
     """Solve the unsteady problem on `tlims`.
 
@@ -105,6 +125,11 @@ def solve_unsteady(
     decomposition — the state is placed with spatial sharding and XLA
     GSPMD inserts the halo exchanges / FFT transposes over ICI (the
     reference is single-device; SURVEY.md §2.5).
+
+    `nan_guard`: one cheap `isfinite` reduction per scan chunk (SURVEY
+    §5.3). On divergence the run aborts with `SolverDivergedError`
+    carrying the last finite state; if a `checkpointer` processor is
+    attached, an emergency checkpoint of that state is written first.
     """
     if method is None:
         method = RK44()
@@ -212,17 +237,57 @@ def solve_unsteady(
                     st = get_state(to_public(state))
                 initialized[k] = p.update(initialized[k], st)
 
+    def _diverged(last_good):
+        """Abort on non-finite fields: emergency-checkpoint the last
+        finite state (if a checkpointer is attached) and raise."""
+        from .utils.checkpoint import save_checkpoint
+
+        st = get_state(to_public(last_good)) if last_good is not None else None
+        ckpt = None
+        for p in processors.values():
+            path = getattr(p, "ckpt_path", None)
+            if path is not None and st is not None:
+                import os
+
+                ckpt = os.path.join(path, "state_diverged_last_good.msgpack")
+                save_checkpoint(
+                    ckpt,
+                    dict(u=st["u"], temp=st["temp"], t=st["t"], n=st["n"]),
+                )
+                break
+        at = "" if st is None else f" (last finite state: n={int(st['n'])}, t={float(st['t']):g})"
+        raise SolverDivergedError(
+            f"solver produced non-finite fields{at}", state=st, checkpoint=ckpt
+        )
+
+    def _finite(s):
+        ok = bool(jnp.all(jnp.isfinite(s.u)))
+        if ok and s.temp is not None:
+            ok = bool(jnp.all(jnp.isfinite(s.temp)))
+        return ok
+
+    def _keep(s):
+        # last-good copy (donated scans consume every current buffer)
+        return jax.tree.map(jnp.copy, s)
+
     isadaptive = dt is None
     if isadaptive:
         dt_cur = None
+        last_good = _keep(state) if nan_guard else None
         while float(state.t) < tend - 1e-14 * max(1.0, abs(tend)):
             n = int(state.n)
             if dt_cur is None or n % n_adapt_dt == 0:
                 dt_cur = float(cfl) * float(fns["cfl_fn"](state))
                 if dt_min is not None:
                     dt_cur = max(dt_cur, dt_min)
+            if nan_guard and not np.isfinite(dt_cur):
+                _diverged(last_good)
             dt_step = min(dt_cur, tend - float(state.t))
             state = fns["step1"](state, jnp.asarray(dt_step, setup.dtype), theta)
+            if nan_guard and n % max(n_adapt_dt, 1) == 0:
+                if not _finite(state):
+                    _diverged(last_good)
+                last_good = _keep(state)
             _update_processors(state)
     else:
         nstep = int(round((tend - tstart) / dt))
@@ -235,8 +300,13 @@ def solve_unsteady(
 
         # Scan in `chunk`-step bursts; processors flush between bursts
         # (chunk = gcd of processor nupdates, so decimation is honored).
+        last_good = _keep(state) if nan_guard else None
         for c in _chunk_sizes(nstep, chunk):
             state = fns["scan_steps"](state, dtj, theta, c)
+            if nan_guard:
+                if not _finite(state):
+                    _diverged(last_good)
+                last_good = _keep(state)
             if processors:
                 _update_processors(state)
 

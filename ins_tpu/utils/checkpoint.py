@@ -70,4 +70,6 @@ def checkpointer(path, *, nupdate=1, keep_last=1):
                 os.remove(old)
         return saved
 
-    return Processor(initialize, update, lambda s, _: s, nupdate)
+    p = Processor(initialize, update, lambda s, _: s, nupdate)
+    p.ckpt_path = path  # solver NaN guard writes its emergency file here
+    return p
