@@ -42,6 +42,7 @@ __all__ = [
     "default_psolver",
     "psolver_spectral",
     "psolver_cg",
+    "psolver_cg_matrix",
     "psolver_direct",
     "poisson",
     "pressure",
@@ -221,6 +222,86 @@ def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
             # VJP is exact
             p = p.at[ip].add(-jnp.sum(p[ip]) / npoints)
         return p
+
+    psolve.is_cg = True
+    return psolve
+
+
+def psolver_cg_matrix(setup, *, abstol=0.0, reltol=None, maxiter=None):
+    """CG on the *assembled* sparse pressure Laplacian
+    (reference psolver_cg_matrix, src/pressure.jl:161-185).
+
+    The matrix lives on device as a BCOO and the matvec runs inside the
+    jitted `lax.while_loop` — useful when the operator has been
+    inspected/modified as an explicit matrix. For production use prefer
+    `psolver_cg` (matrix-free stencil, faster on TPU) or `psolver_fdm`
+    (direct). The singular (no PressureBC) case is handled by zero-mean
+    projection — the CG-space analogue of the reference's bordered
+    system [L e; e' 0]."""
+    import jax.experimental.sparse as jsparse
+
+    from .matrices import laplacian_mat
+
+    g = setup.grid
+    dtype = setup.dtype
+    if reltol is None:
+        reltol = math.sqrt(float(np.finfo(dtype).eps))
+    if maxiter is None:
+        maxiter = int(np.prod(g.Np))
+    ip = slc(g.Ip)
+    nflat = int(np.prod(g.N))
+
+    Lsp = laplacian_mat(setup).tocoo()
+    L = jsparse.BCOO(
+        (jnp.asarray(Lsp.data, dtype),
+         jnp.asarray(np.stack([Lsp.row, Lsp.col], 1))),
+        shape=Lsp.shape,
+    )
+    # restriction pressure-DOF flat <- full-grid flat
+    idx = np.arange(nflat).reshape(g.N)[ip].ravel()
+    idxj = jnp.asarray(idx)
+    diag = np.asarray(Lsp.tocsr().diagonal())
+    diag = np.where(np.abs(diag) > 0, diag, 1.0)
+    invdiag = jnp.asarray(1.0 / diag, dtype)
+
+    issingular = not any(
+        isinstance(bc, PressureBC)
+        for bcs in setup.boundary_conditions
+        for bc in bcs
+    )
+    npoints = float(np.prod(g.Np))
+
+    def psolve(p):
+        f = p.reshape(-1)[idxj]
+        if issingular:
+            f = f - jnp.sum(f) / npoints
+        r = f
+        residual0 = jnp.sqrt(jnp.sum(r * r))
+        tolerance = jnp.maximum(reltol * residual0, abstol)
+        x = jnp.zeros_like(f)
+        q = jnp.zeros_like(f)
+        state = (x, r, q, jnp.asarray(1.0, dtype), residual0, 0)
+
+        def cond(s):
+            *_, residual, it = s
+            return jnp.logical_and(it < maxiter, residual > tolerance)
+
+        def body(s):
+            x, r, q, rho_prev, residual, it = s
+            z = r * invdiag
+            rho = jnp.sum(z * r)
+            beta = rho / rho_prev
+            q = z + beta * q
+            Lq = L @ q
+            alpha = rho / jnp.sum(q * Lq)
+            x = x + alpha * q
+            r = r - alpha * Lq
+            return (x, r, q, rho, jnp.sqrt(jnp.sum(r * r)), it + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body, state)
+        if issingular:
+            x = x - jnp.sum(x) / npoints
+        return p.at[ip].set(x.reshape(g.Np).astype(p.dtype))
 
     psolve.is_cg = True
     return psolve

@@ -83,3 +83,30 @@ def test_project_divergence_free(setup2d, u2d):
     u = ins.project(u2d, setup, psolver=psolve)
     div = ins.divergence(u, setup)
     assert float(jnp.max(jnp.abs(div))) < 1e-8
+
+
+def test_cg_matrix(periodic_setup):
+    """Assembled-matrix CG (reference psolver_cg_matrix,
+    src/pressure.jl:161-185) reproduces the analytic pressure."""
+    from ins_tpu.ops.pressure import psolver_cg_matrix
+
+    _check(psolver_cg_matrix(periodic_setup), periodic_setup, 1e-5)
+
+
+def test_cg_matrix_dirichlet(setup2d):
+    from ins_tpu.ops.pressure import psolver_cg_matrix
+
+    g = setup2d.grid
+    import jax
+
+    p_ref = jax.random.normal(jax.random.PRNGKey(11), g.N, setup2d.dtype)
+    p_ref = ins.apply_bc_p(p_ref, jnp.asarray(0.0, setup2d.dtype), setup2d)
+    ip = slc(g.Ip)
+    p_ref = p_ref.at[ip].add(-jnp.mean(p_ref[ip]))
+    p_ref = ins.apply_bc_p(p_ref, jnp.asarray(0.0, setup2d.dtype), setup2d)
+    f = ins.laplacian(p_ref, setup2d)
+    p = poisson(psolver_cg_matrix(setup2d, reltol=1e-12), f)
+    pe = np.asarray(p_ref[ip])
+    pn = np.asarray(p[ip])
+    pn = pn - pn.mean() + pe.mean()
+    assert np.max(np.abs(pn - pe)) < 1e-6
