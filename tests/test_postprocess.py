@@ -183,3 +183,31 @@ def test_sciml_rhs(solved):
     # differentiable
     g = jax.grad(lambda u: jnp.sum(f(u, 0.0) ** 2))(u0)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_plotgrid_3d_and_contour3d(tmp_path):
+    """3D plotgrid wireframe + 3D contour fieldplot (reference Makie ext
+    :31-72 and :204 parity)."""
+    import jax
+
+    from ins_tpu.plotting import fieldplot, plotgrid
+
+    plotgrid(
+        np.linspace(0, 1, 9),
+        np.linspace(0, 2, 17),
+        np.linspace(0, 1, 5),
+        path=str(tmp_path / "grid3d.png"),
+    )
+    assert os.path.exists(tmp_path / "grid3d.png")
+
+    n = 16
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup3 = ins.Setup(x=x, boundary_conditions=bc, Re=1e3,
+                       dtype=jnp.float64)
+    u = ins.random_field(setup3, kp=3, rng=jax.random.PRNGKey(0))
+    st = {"u": u, "temp": None, "t": jnp.asarray(0.0), "n": 0}
+    fig = fieldplot(st, setup=setup3, fieldname="velocitynorm",
+                    type="contour")
+    fig.savefig(str(tmp_path / "contour3d.png"))
+    assert os.path.exists(tmp_path / "contour3d.png")
