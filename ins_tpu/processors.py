@@ -28,6 +28,7 @@ __all__ = [
     "save_vtk",
     "vtk_writer",
     "get_streamfunction",
+    "jax_profiler",
 ]
 
 
@@ -293,5 +294,45 @@ def vtk_writer(*, setup, nupdate=1, dir="output", filename="solution",
     def finalize(pvd, state):
         awriter.flush()
         return pvd.save()
+
+    return Processor(initialize, _update, finalize, nupdate)
+
+
+def jax_profiler(logdir="profile/jax_trace", *, start_n=0, stop_n=None,
+                 nupdate=1):
+    """Processor capturing a `jax.profiler` device trace of the run
+    (SURVEY §5.1 — the reference has only a wall-clock `timelogger`,
+    src/processors.jl:45-72; on TPU the profiler records per-op HLO
+    timelines viewable in TensorBoard/XProf).
+
+    Tracing starts at the first update with `state.n >= start_n` and stops
+    at `state.n >= stop_n` (or at `finalize`). Because processors run at
+    scan-chunk boundaries, the captured window snaps to chunk edges; keep
+    `nupdate` small (it sets the chunk size) for a tight window."""
+
+    def initialize(state):
+        ps = {"on": False, "done": False, "dir": logdir}
+        return _update(ps, state)
+
+    def _update(ps, state):
+        n = int(state["n"])
+        if not ps["on"] and not ps["done"] and n >= start_n:
+            import os
+
+            os.makedirs(logdir, exist_ok=True)
+            jax.profiler.start_trace(logdir)
+            ps["on"] = True
+        elif ps["on"] and stop_n is not None and n >= stop_n:
+            jax.profiler.stop_trace()
+            ps["on"] = False
+            ps["done"] = True
+        return ps
+
+    def finalize(ps, state):
+        if ps["on"]:
+            jax.profiler.stop_trace()
+            ps["on"] = False
+            ps["done"] = True
+        return ps
 
     return Processor(initialize, _update, finalize, nupdate)

@@ -198,6 +198,34 @@ def solve_unsteady(
         def cfl_u(s):
             return get_cfl_timestep(regh(s.u) if use_fast else s.u, setup)
 
+        # Adaptive stepping fully on-device: a `lax.while_loop` advances up
+        # to `max_steps` steps (or until `tend`), recomputing the CFL dt
+        # every `n_adapt` steps — no per-step host sync (the reference's
+        # loop is host-driven, src/solver.jl:53-80; so was round 1's).
+        # `cfl_j`/`dt_min_j` are traced so changing them doesn't recompile.
+        @partial(jax.jit, static_argnums=(6, 7), donate_argnums=(0,))
+        def scan_adaptive(s, dt_cur, cfl_j, dt_min_j, tend_j, th, max_steps, n_adapt):
+            tdt = s.t.dtype
+            margin = jnp.asarray(1e-14, tdt) * jnp.maximum(
+                jnp.asarray(1.0, tdt), jnp.abs(tend_j)
+            )
+
+            def cond(carry):
+                si, dtc, k = carry
+                return jnp.logical_and(k < max_steps, si.t < tend_j - margin)
+
+            def body(carry):
+                si, dtc, k = carry
+                dtc = jnp.where(si.n % n_adapt == 0, cfl_j * cfl_u(si), dtc)
+                dtc = jnp.maximum(dtc, dt_min_j)
+                dt_step = jnp.minimum(dtc, tend_j - si.t).astype(tdt)
+                return (step(si, dt_step, th), dtc, k + 1)
+
+            si, dtc, _ = jax.lax.while_loop(
+                cond, body, (s, dt_cur, jnp.asarray(0, jnp.int32))
+            )
+            return si, dtc
+
         return dict(
             use_fast=use_fast,
             strip=strip,
@@ -205,6 +233,7 @@ def solve_unsteady(
             make_stepper=make_stepper,
             step1=step1,
             scan_steps=scan_steps,
+            scan_adaptive=scan_adaptive,
             cfl_fn=jax.jit(cfl_u),
         )
 
@@ -272,20 +301,39 @@ def solve_unsteady(
 
     isadaptive = dt is None
     if isadaptive:
-        dt_cur = None
+        # Chunked on-device adaptive loop: each host iteration runs one
+        # jitted while_loop of `chunk` steps; processors (and the NaN
+        # guard) flush between chunks at their `nupdate` decimation.
+        nupdates = [getattr(p, "nupdate", 1) for p in processors.values()]
+        chunk = math.gcd(*nupdates) if nupdates else max_chunk
+        chunk = max(1, min(chunk, max_chunk))
+        n_adapt = max(int(n_adapt_dt), 1)
+        cfl_j = jnp.asarray(cfl, setup.dtype)
+        dt_min_j = jnp.asarray(0.0 if dt_min is None else dt_min, setup.dtype)
+        tend_j = jnp.asarray(tend, setup.dtype)
+        # Seed dt for states entering with n % n_adapt != 0 (e.g. resume)
+        dt_cur = jnp.maximum(cfl_j * fns["cfl_fn"](state), dt_min_j)
         last_good = _keep(state) if nan_guard else None
         while float(state.t) < tend - 1e-14 * max(1.0, abs(tend)):
-            n = int(state.n)
-            if dt_cur is None or n % n_adapt_dt == 0:
-                dt_cur = float(cfl) * float(fns["cfl_fn"](state))
-                if dt_min is not None:
-                    dt_cur = max(dt_cur, dt_min)
-            if nan_guard and not np.isfinite(dt_cur):
-                _diverged(last_good)
-            dt_step = min(dt_cur, tend - float(state.t))
-            state = fns["step1"](state, jnp.asarray(dt_step, setup.dtype), theta)
-            if nan_guard and n % max(n_adapt_dt, 1) == 0:
-                if not _finite(state):
+            n_prev = int(state.n)
+            state, dt_cur = fns["scan_adaptive"](
+                state, dt_cur, cfl_j, dt_min_j, tend_j, theta, chunk, n_adapt
+            )
+            if int(state.n) == n_prev:
+                ulp = float(np.finfo(np.dtype(setup.dtype)).eps) * max(
+                    1.0, abs(tend)
+                )
+                if abs(tend - float(state.t)) <= 4 * ulp:
+                    break  # reached tend to dtype resolution
+                # dt underflowed to 0 away from tend (degenerate CFL
+                # estimate): cannot make progress.
+                raise SolverDivergedError(
+                    f"adaptive dt underflow at t={float(state.t):g} "
+                    f"(dt={float(dt_cur):g})",
+                    state=get_state(to_public(state)),
+                )
+            if nan_guard:
+                if not (_finite(state) and bool(jnp.isfinite(state.t))):
                     _diverged(last_good)
                 last_good = _keep(state)
             _update_processors(state)

@@ -211,3 +211,27 @@ def test_plotgrid_3d_and_contour3d(tmp_path):
                     type="contour")
     fig.savefig(str(tmp_path / "contour3d.png"))
     assert os.path.exists(tmp_path / "contour3d.png")
+
+
+def test_jax_profiler_processor(tmp_path):
+    """jax_profiler captures a trace window [start_n, stop_n) and writes
+    profile files (SURVEY §5.1)."""
+    n = 16
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * 2
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 2
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float64)
+    psolver = ins.psolver_spectral(setup)
+    u0 = ins.random_field(setup, kp=3, rng=jax.random.PRNGKey(0))
+    logdir = str(tmp_path / "trace")
+
+    from ins_tpu.processors import jax_profiler
+
+    _, outputs = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0.0, 0.01), dt=1e-3, psolver=psolver,
+        processors={"prof": jax_profiler(logdir, start_n=2, stop_n=6)},
+    )
+    assert outputs["prof"]["done"] and not outputs["prof"]["on"]
+    found = [
+        os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs
+    ]
+    assert found, "profiler wrote no trace files"
