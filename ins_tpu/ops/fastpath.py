@@ -105,11 +105,17 @@ def make_fast_timestep(setup, method):
         else None
     )
 
-    # Hot op: hand-written Pallas kernel where supported (3D, lane-aligned
-    # extents, TPU backend) — one HBM read+write per evaluation, measured
-    # ~1.3x (128^3) to 2.7x (256^3) faster than the roll graph; the roll
-    # graph remains the fallback (CPU, 2D, unaligned n).
-    from .pallas_kernels import convdiff_interior_3d, pallas_supported
+    # Hot ops: hand-written Pallas kernels where supported (3D, lane-aligned
+    # extents, TPU backend) — one HBM pass each for conv-diff, the stage
+    # axpy+divergence, and the pressure correction (XLA lowers jnp.roll as
+    # an unfused copy on TPU, so the roll-graph glue is pure data movement);
+    # the roll graph remains the fallback (CPU, 2D, unaligned n).
+    from .pallas_kernels import (
+        convdiff_interior_3d,
+        pallas_supported,
+        pressure_correct_3d,
+        stage_div_3d,
+    )
 
     use_pallas = pallas_supported(setup)
     if use_pallas:
@@ -159,15 +165,26 @@ def make_fast_timestep(setup, method):
             F = F + strip_ghosts(setup.closure_model(reghost(u), theta))
         return F
 
+    def solve_p(div):
+        if use_mm_poisson:
+            return poisson_mm(div)
+        ph = jnp.fft.rfftn(div) * inv_denom
+        return jnp.fft.irfftn(ph, div.shape).astype(setup.dtype)
+
     def project(u):
         div = sum((u[a] - _roll_m(u[a], a)) / dxs[a] for a in range(D)) * vol
-        if use_mm_poisson:
-            p = poisson_mm(div)
-        else:
-            ph = jnp.fft.rfftn(div) * inv_denom
-            p = jnp.fft.irfftn(ph, div.shape).astype(u.dtype)
+        p = solve_p(div)
         G = jnp.stack([(_roll_p(p, a) - p) / dxs[a] for a in range(D)])
         return u - G
+
+    def stage_project(base, k, coeff):
+        """Projected stage update P(base + coeff*k). On the Pallas path the
+        axpy+divergence and the pressure correction each run as one fused
+        HBM pass; otherwise the roll graph."""
+        if use_pallas:
+            ut, div = stage_div_3d(base, k, coeff, dxs)
+            return pressure_correct_3d(ut, solve_p(div), dxs)
+        return project(base + coeff * k)
 
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
@@ -180,10 +197,17 @@ def make_fast_timestep(setup, method):
             for i in range(ns):
                 ku.append(momentum(u, t, theta))
                 t = tstart + c[i] * dt
-                u = ustart
-                for j in range(i + 1):
-                    u = u + dt * A[i][j] * ku[j]
-                u = project(u)
+                # base = ustart + dt * sum_{j<i} A[i][j] k_j (an axpy chain
+                # XLA fuses into one pass; empty for the classic RK44 rows),
+                # then the fused update-with-projection by the new k.
+                base = ustart
+                for j in range(i):
+                    if A[i][j] != 0.0:
+                        base = base + (dt * A[i][j]) * ku[j]
+                if A[i][i] != 0.0:
+                    u = stage_project(base, ku[i], dt * A[i][i])
+                else:  # degenerate diagonal entry: nothing new to add
+                    u = project(base)
             return StepperState(u=u, temp=None, t=t, n=n + 1)
 
     else:  # LMWray3
@@ -197,7 +221,7 @@ def make_fast_timestep(setup, method):
             for i in range(ns):
                 ti = tstart + c_[i] * dt
                 du = momentum(u, ti, theta)
-                u = project(ustart + dt * a_[i] * du)
+                u = stage_project(ustart, du, dt * a_[i])
                 if i < ns - 1:
                     ustart = ustart + dt * b_[i] * du
             return StepperState(u=u, temp=None, t=tstart + dt, n=n + 1)

@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "convdiff_periodic_uniform_3d",
     "convdiff_interior_3d",
+    "stage_div_3d",
+    "pressure_correct_3d",
     "pallas_supported",
 ]
 
@@ -197,3 +199,205 @@ def convdiff_periodic_uniform_3d(u, visc, dx, *, bx=8, interpret=False):
     )
     # Restore the ghost shape (ghost entries zero, as in the slice graph)
     return jnp.pad(out, ((0, 0),) + ((1, 1),) * 3)
+
+
+# ---------------------------------------------------------------------------
+# Stage-glue kernels: the RK stage update and the pressure correction.
+#
+# Why these exist: XLA lowers `jnp.roll` on TPU as an unfused copy — one
+# 256^3 roll costs more than a full read+write pass of the array — so the
+# reference's per-stage glue (tableau axpy -> divergence -> gradient ->
+# subtract; step_explicit_runge_kutta.jl:36-50, pressure.jl:52-82) spends
+# most of the step in data movement. These two slab kernels compute the
+# same math in one HBM pass each, with the periodic shifts as in-VMEM
+# rolls / window slices like the conv-diff kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _stage_div_kernel(
+    coeff_smem, base_hbm, k_hbm, ut_out, div_out, sb, sk, sems, *, dx, vol, bx, n
+):
+    """ut = base + coeff*k and divvol = vol * div(ut) in one pass.
+
+    Windows carry ONE lower ghost plane per stream (divergence at plane p
+    needs ut_x[p-1]); y/z lower neighbours are in-VMEM rolls."""
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        lo = (start - 1 + n) % n
+        return (
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(start, bx)],
+                sb.at[s, :, pl.ds(1, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(lo, 1)],
+                sb.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                k_hbm.at[:, pl.ds(start, bx)],
+                sk.at[s, :, pl.ds(1, bx)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                k_hbm.at[:, pl.ds(lo, 1)],
+                sk.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 3],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    c = coeff_smem[0]
+    d = None
+    for a in range(3):
+        utw = sb[slot, a] + c * sk[slot, a]  # (bx+1, n, n) incl lower ghost
+        ut_c = utw[1:]
+        ut_out[a, :, :, :] = ut_c
+        if a == 0:
+            d = (utw[1:] - utw[:-1]) / dx[0]
+        else:
+            d += (ut_c - pltpu.roll(ut_c, 1, a)) / dx[a]
+    div_out[:, :, :] = d * vol
+
+
+def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
+    """Fused RK stage update + divergence on interior-layout fields:
+    `ut = base + coeff * k`, `divvol = vol * div(ut)` (one HBM pass).
+    `coeff` is a traced scalar (e.g. dt * A[i][i])."""
+    D, n, ny, nz = base_int.shape
+    assert D == 3 and n == ny == nz
+    vol = float(np.prod(dxs))
+    if bx is None:
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _stage_div_kernel, dx=tuple(map(float, dxs)), vol=vol, bx=bx, n=n
+    )
+    coeff_arr = jnp.reshape(coeff, (1,)).astype(base_int.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), base_int.dtype),
+            jax.ShapeDtypeStruct((n, n, n), base_int.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 1, n, n), base_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, n, n), base_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(coeff_arr, base_int, k_int)
+
+
+def _pressure_correct_kernel(ut_hbm, q_hbm, u_out, su, sq, sems, *, dx, bx, n):
+    """u = ut - grad(q): gradient at plane p needs q[p+1] (one upper ghost
+    plane); y/z upper neighbours are in-VMEM rolls."""
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        hi = (start + bx) % n
+        return (
+            pltpu.make_async_copy(
+                ut_hbm.at[:, pl.ds(start, bx)],
+                su.at[s],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(start, bx)],
+                sq.at[s, pl.ds(0, bx)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                q_hbm.at[pl.ds(hi, 1)],
+                sq.at[s, pl.ds(bx, 1)],
+                sems.at[s, 2],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    qw = sq[slot]  # (bx+1, n, n)
+    qc = qw[:bx]
+    for a in range(3):
+        if a == 0:
+            g = (qw[1:] - qw[:-1]) / dx[0]
+        else:
+            g = (pltpu.roll(qc, n - 1, a) - qc) / dx[a]
+        u_out[a, :, :, :] = su[slot, a] - g
+
+
+def pressure_correct_3d(ut_int, q_int, dxs, *, bx=None, interpret=False):
+    """Apply the pressure correction `u = ut - grad(q)` on interior-layout
+    fields in one HBM pass (reference applypressure!,
+    src/operators.jl:214-288, uniform periodic case)."""
+    D, n, ny, nz = ut_int.shape
+    assert D == 3 and n == ny == nz
+    if bx is None:
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _pressure_correct_kernel, dx=tuple(map(float, dxs)), bx=bx, n=n
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, n, n, n), ut_int.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
+            pltpu.VMEM((2, bx + 1, n, n), ut_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(ut_int, q_int)

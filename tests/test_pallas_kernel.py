@@ -21,3 +21,38 @@ def test_convdiff_kernel_matches_slice_graph():
     F_pl = convdiff_periodic_uniform_3d(u, 1e-3, dx, interpret=True)
     scale = float(jnp.max(jnp.abs(F_ref)))
     assert float(jnp.max(jnp.abs(F_ref - F_pl))) < 1e-5 * max(scale, 1.0)
+
+
+def test_stage_div_kernel_matches_rolls():
+    """stage_div_3d: fused axpy+divergence == roll-graph reference."""
+    from ins_tpu.ops.pallas_kernels import stage_div_3d
+
+    n = 16
+    dx = (2 * np.pi / n, 1.0 / n, 0.5 / n)
+    vol = float(np.prod(dx))
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    coeff = jnp.float32(0.37)
+    ut, dv = stage_div_3d(base, k, coeff, dx, interpret=True)
+    ut_ref = base + 0.37 * k
+    dv_ref = (
+        sum((ut_ref[a] - jnp.roll(ut_ref[a], 1, a)) / dx[a] for a in range(3))
+        * vol
+    )
+    assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(dv - dv_ref))) < 1e-4
+
+
+def test_pressure_correct_kernel_matches_rolls():
+    """pressure_correct_3d: u = ut - grad(q) == roll-graph reference."""
+    from ins_tpu.ops.pallas_kernels import pressure_correct_3d
+
+    n = 16
+    dx = (2 * np.pi / n, 1.0 / n, 0.5 / n)
+    rng = np.random.default_rng(1)
+    ut = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    u = pressure_correct_3d(ut, q, dx, interpret=True)
+    G = jnp.stack([(jnp.roll(q, -1, a) - q) / dx[a] for a in range(3)])
+    assert float(jnp.max(jnp.abs(u - (ut - G)))) < 1e-4
