@@ -48,19 +48,25 @@ def run_case(N, nwarm, nstep):
     assert fastpath_applicable(setup, method, psolver)
     fast_step = make_fast_timestep(setup, method)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state):
-        return fast_step(state, dt, None)
+    # Scan chunks, exactly how solve_unsteady runs the hot loop (one
+    # device dispatch per chunk, not per step).
+    @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def scan_steps(state, nsteps):
+        def body(s, _):
+            return fast_step(s, dt, None), None
+
+        state, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return state
 
     state = create_stepper(method, setup=setup, psolver=psolver, u=u0)
     state = state._replace(u=jax.jit(strip_ghosts)(state.u))
-    for _ in range(nwarm):
-        state = step(state)
+    # Warm with the SAME static length so the timed call reuses the
+    # compiled program.
+    state = scan_steps(state, nstep)
     jax.block_until_ready(state.u)
 
     t0 = time.perf_counter()
-    for _ in range(nstep):
-        state = step(state)
+    state = scan_steps(state, nstep)
     jax.block_until_ready(state.u)
     elapsed = time.perf_counter() - t0
 

@@ -29,6 +29,8 @@ __all__ = [
     "vtk_writer",
     "get_streamfunction",
     "jax_profiler",
+    "observe_nusselt",
+    "observe_wallshear",
 ]
 
 
@@ -336,3 +338,97 @@ def jax_profiler(logdir="profile/jax_trace", *, start_n=0, stop_n=None,
         return ps
 
     return Processor(initialize, _update, finalize, nupdate)
+
+
+def _interior_volume_weights(setup):
+    """Cell-volume weights over the interior pressure box (for volume
+    averages on stretched grids)."""
+    from .ops._stencil import seg
+
+    g = setup.grid
+    w = jnp.ones(tuple(e - s for s, e in g.Ip), setup.dtype)
+    for d in range(g.dim):
+        w = w * seg(g.delta[d], g.Ip, d).astype(setup.dtype)
+    return w
+
+
+def observe_nusselt(setup, *, nupdate=1):
+    """Processor recording the volume-averaged Nusselt number
+    `Nu = 1 + <u_g θ> / α4` (convective heat transport over the conductive
+    reference; the reference package has no Nusselt observable — this is a
+    standard diagnostic for its RayleighBenard2D/3D examples,
+    examples/RayleighBenard2D.jl:74-90). `gdir` and α4 come from
+    `setup.temperature`."""
+    from .ops._stencil import slc
+    from .ops import operators as ops
+
+    te = setup.temperature
+    if te is None:
+        raise ValueError("observe_nusselt requires a temperature equation")
+    g = setup.grid
+    ip = slc(g.Ip)
+    w = _interior_volume_weights(setup)
+    wsum = jnp.sum(w)
+    a4 = te.alpha4
+    gdir = te.gdir
+
+    @jax.jit
+    def nu_of(u, temp):
+        up = ops.interpolate_u_p(u, setup)
+        conv = jnp.sum(w * up[gdir][ip] * temp[ip]) / wsum
+        return 1.0 + conv / a4
+
+    def update(ps, state):
+        ps["t"].append(float(state["t"]))
+        ps["Nu"].append(float(nu_of(state["u"], state["temp"])))
+        return ps
+
+    def initialize(state):
+        return update(dict(t=[], Nu=[]), state)
+
+    return Processor(initialize, update, lambda ps, s: ps, nupdate)
+
+
+def observe_wallshear(setup, *, dim, side, component, nupdate=1):
+    """Processor recording the mean wall shear stress
+    `τ_w = (1/Re) ∂u_c/∂x_d` (signed coordinate derivative) at a domain
+    boundary (`dim`: wall-normal axis, `side`: 0 = low / 1 = high,
+    `component`: tangential velocity index ≠ dim). Uses the ghost layer
+    the BC fill maintains, so it is exact for the solver's own
+    discretization. No reference counterpart (nearest: the examples
+    eyeball plotted profiles)."""
+    g = setup.grid
+    D = g.dim
+    if component == dim:
+        raise ValueError("wall shear needs a tangential component")
+    # Tangential components sit on pressure-centred positions along `dim`:
+    # the first interior cell and the ghost cell straddle the wall.
+    n = g.N[dim]
+    if side == 0:
+        i_in, i_gh = 1, 0
+    else:
+        i_in, i_gh = n - 2, n - 1
+    # signed distance between the straddling sample points
+    d_arr = np.asarray(g.xp[dim])
+    dist = float(d_arr[i_in] - d_arr[i_gh])
+
+    def plane(uc, idx):
+        sl = [slice(1, -1)] * D
+        sl[dim] = idx
+        return uc[tuple(sl)]
+
+    @jax.jit
+    def shear_of(u):
+        uc = u[component]
+        du = (plane(uc, i_in) - plane(uc, i_gh)) / dist
+        return jnp.mean(du) / setup.Re
+
+    def update(ps, state):
+        ps["t"].append(float(state["t"]))
+        ps["tau"].append(float(shear_of(state["u"])))
+        return ps
+
+    def initialize(state):
+        return update(dict(t=[], tau=[]), state)
+
+    return Processor(initialize, update, lambda ps, s: ps, nupdate)
