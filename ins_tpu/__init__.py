@@ -32,6 +32,9 @@ from .processors import (  # noqa: F401
     fieldobserver,
     fieldsaver,
     get_streamfunction,
+    jax_profiler,
+    observe_nusselt,
+    observe_wallshear,
     observefield,
     observespectrum,
     processor,
