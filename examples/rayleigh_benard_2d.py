@@ -63,6 +63,7 @@ def run(quick=False, outdir=None):
         processors={
             "log": ins.timelogger(nupdate=1000),
             "nusselt": nusselt_processor(setup, nupdate=20),
+            "nu_vol": ins.observe_nusselt(setup, nupdate=20),
         },
     )
     nus = out["nusselt"]
@@ -70,6 +71,7 @@ def run(quick=False, outdir=None):
         finite=bool(jnp.all(jnp.isfinite(state.u)))
         and bool(jnp.all(jnp.isfinite(state.temp))),
         nusselt_last=nus[-1] if nus else None,
+        nusselt_volume_last=out["nu_vol"]["Nu"][-1],
     )
 
 

@@ -43,6 +43,11 @@ from .processors import (  # noqa: F401
     vtk_writer,
 )
 from .sciml import create_right_hand_side, right_hand_side  # noqa: F401
+from .utils.spectrum import (  # noqa: F401
+    get_lims,
+    getoffset,
+    splitseed,
+)
 from .utils.checkpoint import (  # noqa: F401
     checkpointer,
     load_checkpoint,
@@ -64,3 +69,24 @@ from .time_steppers import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+# Plotting names the reference exports from its main module
+# (src/IncompressibleNavierStokes.jl:104,123 — implemented by the Makie
+# ext; here by ins_tpu.plotting). Lazy so importing the solver never
+# pulls matplotlib.
+_PLOTTING_NAMES = (
+    "plotgrid",
+    "fieldplot",
+    "realtimeplotter",
+    "animator",
+    "energy_history_plot",
+    "energy_spectrum_plot",
+)
+
+
+def __getattr__(name):
+    if name in _PLOTTING_NAMES:
+        from . import plotting
+
+        return getattr(plotting, name)
+    raise AttributeError(f"module 'ins_tpu' has no attribute {name!r}")

@@ -3,4 +3,9 @@
 Re-design of IncompressibleNavierStokes.jl `src/utils.jl`.
 """
 
-from .spectrum import spectral_stuff  # noqa: F401
+from .spectrum import (  # noqa: F401
+    get_lims,
+    getoffset,
+    spectral_stuff,
+    splitseed,
+)

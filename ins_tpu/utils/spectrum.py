@@ -14,7 +14,14 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["spectral_stuff", "splitseed", "get_lims"]
+__all__ = ["spectral_stuff", "splitseed", "get_lims", "getoffset"]
+
+
+def getoffset(box):
+    """Starting offsets of an index box (reference `getoffset`,
+    src/utils.jl:19-22: the offset of a `CartesianIndices`; here index
+    boxes are tuples of `(start, end)` per dimension)."""
+    return tuple(int(s) for s, _ in box)
 
 
 def splitseed(seed, n):
