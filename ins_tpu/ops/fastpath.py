@@ -81,8 +81,22 @@ def make_fast_timestep(setup, method):
     from .dft import backend_is_cpu, make_poisson_mm
 
     use_mm_poisson = not backend_is_cpu()
+    use_pallas_poisson = False
     if use_mm_poisson:
-        poisson_mm = make_poisson_mm(Np, dxs, setup.dtype)
+        # 3-pass Pallas formulation where supported (2.4 vs 3.2 ms/solve
+        # at 256^3; ops/poisson_pallas.py), else the XLA 6-contraction one
+        from .poisson_pallas import (
+            make_poisson_pallas,
+            poisson_pallas_supported,
+        )
+
+        use_pallas_poisson = (
+            poisson_pallas_supported(Np) and jax.default_backend() == "tpu"
+        )
+        if use_pallas_poisson:
+            poisson_mm = make_poisson_pallas(Np, dxs, setup.dtype)
+        else:
+            poisson_mm = make_poisson_mm(Np, dxs, setup.dtype)
     else:
         # Spectral denominator (interior layout, rfft over last axis)
         kmax = tuple(Np[d] // 2 + 1 if d == D - 1 else Np[d] for d in range(D))
@@ -112,14 +126,27 @@ def make_fast_timestep(setup, method):
     # the roll graph remains the fallback (CPU, 2D, unaligned n).
     from .pallas_kernels import (
         convdiff_interior_3d,
+        momentum_stage_div_3d,
+        momentum_stage_divhat_3d,
         pallas_supported,
         pressure_correct_3d,
+        pressure_correct_qhat_3d,
         stage_div_3d,
     )
 
     use_pallas = pallas_supported(setup)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
+    # Fully-fused stage: momentum + tableau axpy + divergence in ONE HBM
+    # pass (the stage's k never round-trips between the convdiff eval and
+    # the stage update). Requires the plain convdiff momentum (no
+    # bodyforce / closure terms, which are added outside the kernel).
+    use_fused_stage = (
+        use_pallas
+        and setup.bodyforce is None
+        and setup.bodyforce_field is None
+        and setup.closure_model is None
+    )
 
     def convdiff(u):
         if use_pallas:
@@ -186,6 +213,35 @@ def make_fast_timestep(setup, method):
             return pressure_correct_3d(ut, solve_p(div), dxs)
         return project(base + coeff * k)
 
+    # Fully-fused projection: the stage kernel emits divhat (z/y-forward
+    # transform fused in) and the correction kernel consumes qhat
+    # (z/y-inverse fused in), so the Poisson solve is ONE standalone HBM
+    # pass (pass B).  Gate is broader than the standalone Pallas solve's
+    # (which needs n>=256 to win): with the transforms riding the stage
+    # kernels' DMA, the fused form wins at 128^3 too (2.81 vs 2.83/2.96
+    # ms/step measured).
+    use_fused_proj = use_fused_stage and (
+        len(Np) == 3 and Np[0] == Np[1] == Np[2] and Np[0] % 128 == 0
+    )
+    if use_fused_proj:
+        from .poisson_pallas import make_fused_projection
+
+        proj = make_fused_projection(Np, dxs, setup.dtype)
+
+    def fused_stage(u, base, coeff):
+        """momentum + axpy + divergence in one kernel pass, then the
+        projection: returns (k, u_next)."""
+        if use_fused_proj:
+            k, ut, divhat = momentum_stage_divhat_3d(
+                u, base, coeff, visc_static, dxs, proj["Vinv"], proj["VinvT"]
+            )
+            qhat = proj["passB"](divhat)
+            return k, pressure_correct_qhat_3d(
+                ut, qhat, dxs, proj["V"], proj["VT"]
+            )
+        k, ut, div = momentum_stage_div_3d(u, base, coeff, visc_static, dxs)
+        return k, pressure_correct_3d(ut, solve_p(div), dxs)
+
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
 
@@ -195,8 +251,6 @@ def make_fast_timestep(setup, method):
             ustart = u
             ku = []
             for i in range(ns):
-                ku.append(momentum(u, t, theta))
-                t = tstart + c[i] * dt
                 # base = ustart + dt * sum_{j<i} A[i][j] k_j (an axpy chain
                 # XLA fuses into one pass; empty for the classic RK44 rows),
                 # then the fused update-with-projection by the new k.
@@ -204,6 +258,16 @@ def make_fast_timestep(setup, method):
                 for j in range(i):
                     if A[i][j] != 0.0:
                         base = base + (dt * A[i][j]) * ku[j]
+                if use_fused_stage:
+                    # momentum has no time dependence on this path (no
+                    # bodyforce/closure), so evaluating within the fused
+                    # kernel is exact.
+                    t = tstart + c[i] * dt
+                    k, u = fused_stage(u, base, dt * A[i][i])
+                    ku.append(k)
+                    continue
+                ku.append(momentum(u, t, theta))
+                t = tstart + c[i] * dt
                 if A[i][i] != 0.0:
                     u = stage_project(base, ku[i], dt * A[i][i])
                 else:  # degenerate diagonal entry: nothing new to add
@@ -220,8 +284,11 @@ def make_fast_timestep(setup, method):
             ustart = u
             for i in range(ns):
                 ti = tstart + c_[i] * dt
-                du = momentum(u, ti, theta)
-                u = stage_project(ustart, du, dt * a_[i])
+                if use_fused_stage:
+                    du, u = fused_stage(u, ustart, dt * a_[i])
+                else:
+                    du = momentum(u, ti, theta)
+                    u = stage_project(ustart, du, dt * a_[i])
                 if i < ns - 1:
                     ustart = ustart + dt * b_[i] * du
             return StepperState(u=u, temp=None, t=tstart + dt, n=n + 1)

@@ -31,9 +31,49 @@ __all__ = [
     "convdiff_periodic_uniform_3d",
     "convdiff_interior_3d",
     "stage_div_3d",
+    "momentum_stage_div_3d",
+    "momentum_stage_divhat_3d",
     "pressure_correct_3d",
+    "pressure_correct_qhat_3d",
     "pallas_supported",
 ]
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm_h(a, bsplit, manualhigh):
+    """Plane matmul a @ b given b's precomputed bf16 (hi, lo) split.
+    manualhigh: 3 bf16 MXU passes (~Precision.HIGH); else f32 HIGHEST."""
+    if not manualhigh:
+        return jnp.dot(
+            a,
+            bsplit[0].astype(jnp.float32) + bsplit[1].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    ah, al = _split_bf16(a)
+    bh, bl = bsplit
+    kw = dict(preferred_element_type=jnp.float32)
+    return jnp.dot(ah, bh, **kw) + jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw)
+
+
+def _mm_h_left(asplit, b, manualhigh):
+    """Plane matmul a @ b given a's precomputed bf16 split."""
+    if not manualhigh:
+        return jnp.dot(
+            asplit[0].astype(jnp.float32) + asplit[1].astype(jnp.float32),
+            b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    bh, bl = _split_bf16(b)
+    ah, al = asplit
+    kw = dict(preferred_element_type=jnp.float32)
+    return jnp.dot(ah, bh, **kw) + jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw)
 
 
 def pallas_supported(setup):
@@ -43,8 +83,8 @@ def pallas_supported(setup):
     if g.dim != 3 or not (all(g.periodic) and all(g.uniform)):
         return False
     n = g.N[-1] - 2
-    if n % 128 != 0:
-        return False
+    if n % 128 != 0 or any(g.N[d] != g.N[-1] for d in range(3)):
+        return False  # slab kernels require a lane-aligned cube
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -317,6 +357,485 @@ def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
         ],
         interpret=interpret,
     )(coeff_arr, base_int, k_int)
+
+
+def _momentum_stage_div_kernel(
+    coeff_smem, u_hbm, base_hbm, k_out, ut_out, div_out, su, sb, sems,
+    *, visc, dx, vol, bx, n,
+):
+    """Fused momentum + RK stage + divergence, one HBM pass.
+
+    Computes k = convdiff(u) on the extended window [start-1, start+bx)
+    (one recomputed plane), ut = base + coeff*k on the same window, then
+    div(ut)*vol on [start, start+bx) — so the stage's k never makes an
+    HBM round-trip between the momentum eval and the stage update
+    (reference flow: momentum! then the tableau axpy,
+    step_explicit_runge_kutta.jl:36-50, as separate sweeps).
+
+    Windows: u needs planes [start-2, start+bx] (bx+3, wrapped); base
+    needs [start-1, start+bx) (bx+1).  k IS still written out (later RK
+    stages read it for their tableau combinations), but only the
+    [start, start+bx) planes.
+    """
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        lo1 = (start - 1 + n) % n
+        lo2 = (start - 2 + n) % n
+        hi = (start + bx) % n
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, bx)],
+                su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo1, 1)],
+                su.at[s, :, pl.ds(1, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo2, 1)],
+                su.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(hi, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)],
+                sems.at[s, 3],
+            ),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(start, bx)],
+                sb.at[s, :, pl.ds(1, bx)],
+                sems.at[s, 4],
+            ),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(lo1, 1)],
+                sb.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 5],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    # Local plane coords in su: [0 .. bx+2] <-> global [start-2 .. start+bx].
+    # k is computed on locals [1 .. bx+1) of the OUTPUT window, i.e. the
+    # convdiff window slices below mirror _convdiff3d_kernel shifted by -1.
+    def at(a, lo_sh, hi_off):
+        # planes [lo_sh, bx+3+hi_off) of the (bx+3)-plane window
+        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+
+    def rp(v, axis):
+        return pltpu.roll(v, v.shape[axis] - 1, axis)
+
+    def rm(v, axis):
+        return pltpu.roll(v, 1, axis)
+
+    c = coeff_smem[0]
+    d = None
+    for a in range(3):
+        # convdiff on center window locals [1, bx+2) (bx+1 planes)
+        u_c = at(a, 1, -1)
+        uE = at(a, 0, 0)  # locals [0, bx+3) = bx+3 planes
+        uab2E = 0.5 * (uE[:-1] + uE[1:])  # faces at locals [0, bx+2)
+        if a == 0:
+            ubaE = uab2E
+        else:
+            uxE = at(0, 0, -1)  # u_x locals [0, bx+2)
+            ubaE = 0.5 * (uxE + rp(uxE, a))
+        phiE = uab2E * ubaE
+        f = (phiE[:-1] - phiE[1:]) / dx[0]
+        f += (visc / (dx[0] * dx[0])) * (
+            at(a, 2, 0) - 2.0 * u_c + at(a, 0, -2)
+        )
+        for b in (1, 2):
+            u_pb = rp(u_c, b)
+            f += (visc / (dx[b] * dx[b])) * (u_pb - 2.0 * u_c + rm(u_c, b))
+            uab2 = 0.5 * (u_c + u_pb)
+            if a == b:
+                uba2 = uab2
+            else:
+                ub_c = at(b, 1, -1)
+                ub_pa = at(b, 2, 0) if a == 0 else rp(ub_c, a)
+                uba2 = 0.5 * (ub_c + ub_pa)
+            phi = uab2 * uba2
+            f -= (phi - rm(phi, b)) / dx[b]
+        # f covers globals [start-1, start+bx); outputs take [start, ...)
+        k_out[a, :, :, :] = f[1:]
+        utw = sb[slot, a] + c * f  # ut on globals [start-1, start+bx)
+        ut_c = utw[1:]
+        ut_out[a, :, :, :] = ut_c
+        if a == 0:
+            d = (utw[1:] - utw[:-1]) / dx[0]
+        else:
+            d += (ut_c - rm(ut_c, a)) / dx[a]
+    div_out[:, :, :] = d * vol
+
+
+def momentum_stage_div_3d(
+    u_int, base_int, coeff, visc, dxs, *, bx=None, interpret=False
+):
+    """Fused momentum + RK stage update + divergence on interior-layout
+    periodic-uniform fields (one HBM pass):
+
+        k   = convdiff(u)
+        ut  = base + coeff * k
+        div = vol * divergence(ut)
+
+    Returns ``(k, ut, div)``.  ``coeff`` is a traced scalar."""
+    D, n, ny, nz = u_int.shape
+    assert D == 3 and n == ny == nz
+    vol = float(np.prod(dxs))
+    if bx is None:
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _momentum_stage_div_kernel,
+        visc=float(visc),
+        dx=tuple(map(float, dxs)),
+        vol=vol,
+        bx=bx,
+        n=n,
+    )
+    coeff_arr = jnp.reshape(coeff, (1,)).astype(u_int.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+            jax.ShapeDtypeStruct((n, n, n), u_int.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(coeff_arr, u_int, base_int)
+
+
+def _msd_hat_kernel(
+    coeff_smem, u_hbm, base_hbm, vinvy_hbm, vinvzT_hbm,
+    k_out, ut_out, divhat_out, su, sb, sems,
+    *, visc, dx, vol, bx, n, manualhigh,
+):
+    """_momentum_stage_div_kernel + in-kernel z/y forward eigen-transform
+    of the divergence: outputs divhat[p] = Vinv_y @ (div[p] @ Vinv_z^T)
+    per x-plane, so the Poisson solve's pass A never re-reads div from
+    HBM (the transform rides the slab while its DMA streams)."""
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        lo1 = (start - 1 + n) % n
+        lo2 = (start - 2 + n) % n
+        hi = (start + bx) % n
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, bx)],
+                su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo1, 1)],
+                su.at[s, :, pl.ds(1, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo2, 1)],
+                su.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(hi, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)],
+                sems.at[s, 3],
+            ),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(start, bx)],
+                sb.at[s, :, pl.ds(1, bx)],
+                sems.at[s, 4],
+            ),
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(lo1, 1)],
+                sb.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 5],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    def at(a, lo_sh, hi_off):
+        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+
+    def rp(v, axis):
+        return pltpu.roll(v, v.shape[axis] - 1, axis)
+
+    def rm(v, axis):
+        return pltpu.roll(v, 1, axis)
+
+    c = coeff_smem[0]
+    d = None
+    for a in range(3):
+        u_c = at(a, 1, -1)
+        uE = at(a, 0, 0)
+        uab2E = 0.5 * (uE[:-1] + uE[1:])
+        if a == 0:
+            ubaE = uab2E
+        else:
+            uxE = at(0, 0, -1)
+            ubaE = 0.5 * (uxE + rp(uxE, a))
+        phiE = uab2E * ubaE
+        f = (phiE[:-1] - phiE[1:]) / dx[0]
+        f += (visc / (dx[0] * dx[0])) * (
+            at(a, 2, 0) - 2.0 * u_c + at(a, 0, -2)
+        )
+        for b in (1, 2):
+            u_pb = rp(u_c, b)
+            f += (visc / (dx[b] * dx[b])) * (u_pb - 2.0 * u_c + rm(u_c, b))
+            uab2 = 0.5 * (u_c + u_pb)
+            if a == b:
+                uba2 = uab2
+            else:
+                ub_c = at(b, 1, -1)
+                ub_pa = at(b, 2, 0) if a == 0 else rp(ub_c, a)
+                uba2 = 0.5 * (ub_c + ub_pa)
+            phi = uab2 * uba2
+            f -= (phi - rm(phi, b)) / dx[b]
+        k_out[a, :, :, :] = f[1:]
+        utw = sb[slot, a] + c * f
+        ut_c = utw[1:]
+        ut_out[a, :, :, :] = ut_c
+        if a == 0:
+            d = (utw[1:] - utw[:-1]) / dx[0]
+        else:
+            d += (ut_c - rm(ut_c, a)) / dx[a]
+    d = d * vol
+    # z/y forward transform, per plane (Poisson pass A fused in)
+    vinvy_s = _split_bf16(vinvy_hbm[...])
+    vinvzT_s = _split_bf16(vinvzT_hbm[...])
+    for p in range(bx):
+        t = _mm_h(d[p], vinvzT_s, manualhigh)
+        divhat_out[p, :, :] = _mm_h_left(vinvy_s, t, manualhigh)
+
+
+def momentum_stage_divhat_3d(
+    u_int, base_int, coeff, visc, dxs, vinvy, vinvzT,
+    *, precision="manualhigh", bx=None, interpret=False,
+):
+    """Fused momentum + RK stage + divergence + z/y-forward
+    eigen-transform: returns ``(k, ut, divhat)`` where
+    ``divhat[p] = Vinv_y @ (vol*div(ut)[p] @ Vinv_z^T)``.  Combined with
+    `poisson_passB` and `pressure_correct_qhat_3d` this runs the entire
+    pressure projection with a single standalone HBM pass (pass B)."""
+    D, n, ny, nz = u_int.shape
+    assert D == 3 and n == ny == nz
+    vol = float(np.prod(dxs))
+    if bx is None:
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _msd_hat_kernel,
+        visc=float(visc),
+        dx=tuple(map(float, dxs)),
+        vol=vol,
+        bx=bx,
+        n=n,
+        manualhigh=(precision == "manualhigh"),
+    )
+    coeff_arr = jnp.reshape(coeff, (1,)).astype(u_int.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+            jax.ShapeDtypeStruct((n, n, n), u_int.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(coeff_arr, u_int, base_int, vinvy, vinvzT)
+
+
+def _pc_qhat_kernel(
+    ut_hbm, qhat_hbm, vy_hbm, vzT_hbm, u_out, su, sq, sems,
+    *, dx, bx, n, manualhigh,
+):
+    """pressure_correct + in-kernel z/y inverse transform of qhat: the
+    Poisson solve's pass C rides the correction kernel's DMA (the upper
+    ghost plane's inverse transform is recomputed per slab)."""
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        hi = (start + bx) % n
+        return (
+            pltpu.make_async_copy(
+                ut_hbm.at[:, pl.ds(start, bx)],
+                su.at[s],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(start, bx)],
+                sq.at[s, pl.ds(0, bx)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(hi, 1)],
+                sq.at[s, pl.ds(bx, 1)],
+                sems.at[s, 2],
+            ),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    # inverse transform the bx+1 qhat planes: q = V_y @ qhat @ V_z^T
+    vy_s = _split_bf16(vy_hbm[...])
+    vzT_s = _split_bf16(vzT_hbm[...])
+    qplanes = []
+    for p in range(bx + 1):
+        t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
+        qplanes.append(_mm_h(t, vzT_s, manualhigh))
+    qw = jnp.stack(qplanes)  # (bx+1, n, n)
+
+    def rp(v, axis):
+        return pltpu.roll(v, v.shape[axis] - 1, axis)
+
+    qc = qw[:bx]
+    for a in range(3):
+        if a == 0:
+            g = (qw[1:] - qw[:-1]) / dx[0]
+        else:
+            g = (rp(qc, a) - qc) / dx[a]
+        u_out[a, :, :, :] = su[slot, a] - g
+
+
+def pressure_correct_qhat_3d(
+    ut_int, qhat, dxs, vy, vzT, *, precision="manualhigh", bx=None,
+    interpret=False,
+):
+    """u = ut - grad(q) where q is given in the z/y eigen-basis
+    (``qhat``); the inverse transform happens in-kernel (fused Poisson
+    pass C)."""
+    D, n, ny, nz = ut_int.shape
+    assert D == 3 and n == ny == nz
+    if bx is None:
+        bx = 8 if n <= 128 else 2
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _pc_qhat_kernel,
+        dx=tuple(map(float, dxs)),
+        bx=bx,
+        n=n,
+        manualhigh=(precision == "manualhigh"),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, n, n, n), ut_int.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
+            pltpu.VMEM((2, bx + 1, n, n), ut_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ut_int, qhat, vy, vzT)
 
 
 def _pressure_correct_kernel(ut_hbm, q_hbm, u_out, su, sq, sems, *, dx, bx, n):

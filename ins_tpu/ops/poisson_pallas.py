@@ -1,0 +1,237 @@
+"""Pallas 3-pass Poisson solve for uniform periodic grids.
+
+The MXU eigen-matmul Poisson solve (ops/dft.py `make_poisson_mm`) runs as
+6 XLA tensor contractions = 6 full HBM passes.  This module computes the
+same fast-diagonalization solve in 3 Pallas passes:
+
+  pass A (x-slabs):  z-forward + y-forward            (1 HBM pass)
+  pass B (y-blocks): x-forward, eigen-scale, x-inverse (1 HBM pass)
+  pass C (x-slabs):  y-inverse + z-inverse            (1 HBM pass)
+
+Two precision modes for the transform matmuls (measured at 256^3, v5e,
+benchmarks/poisson_probe.py):
+
+- "highest": f32 via 6 bf16 MXU passes.  Residual 1.6e-6 (f32-exact),
+  3.05 ms/solve in-graph — ties the XLA formulation (the solve is
+  MXU-bound, not HBM-bound, at this precision).
+- "manualhigh": ~Precision.HIGH cost — 3 bf16 MXU passes per matmul
+  (hi*hi + hi*lo + lo*hi with an f32 split; Pallas rejects
+  precision=HIGH directly).  Residual 4.4e-5, 2.42 ms/solve.
+
+Reference solver being replaced: psolver_spectral, src/pressure.jl
+:295-330 (redesigned for the MXU; XLA's fused TPU FFT is both slower and
+inaccurate at 256^3 — see ops/dft.py module docs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dft import fourier_eigenbasis
+
+__all__ = ["poisson_pallas_supported", "make_poisson_pallas"]
+
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def poisson_pallas_supported(Np):
+    """Cube with lane-aligned extent, large enough that the per-plane
+    transform matmuls fill the MXU (at 128^3 the 128x128 dots are
+    latency-bound and the XLA 6-contraction formulation wins: measured
+    3.13 vs 2.83 ms/step end-to-end)."""
+    return (
+        len(Np) == 3
+        and Np[0] == Np[1] == Np[2]
+        and Np[2] % 128 == 0
+        and Np[0] >= 256
+    )
+
+
+def _split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_h(a, b, prec, dn=None):
+    """Matmul at ~Precision.HIGH cost when ``prec is None``: 3 bf16 MXU
+    passes (hi*hi + hi*lo + lo*hi) with f32 accumulate."""
+    kw = dict(preferred_element_type=jnp.float32)
+    if dn is None:
+        op = lambda x, y: jnp.dot(x, y, **kw)
+    else:
+        op = lambda x, y: lax.dot_general(x, y, dimension_numbers=dn, **kw)
+    if prec is not None:
+        if dn is None:
+            return jnp.dot(a, b, precision=prec, **kw)
+        return lax.dot_general(a, b, dimension_numbers=dn, precision=prec, **kw)
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return op(ah, bh) + op(ah, bl) + op(al, bh)
+
+
+def _passA_kernel(f_ref, vinvy_ref, vinvzT_ref, out_ref, *, bx, n, prec):
+    t = _dot_h(f_ref[...].reshape(bx * n, n), vinvzT_ref[...], prec).reshape(
+        bx, n, n
+    )
+    for xi in range(bx):
+        out_ref[xi, :, :] = _dot_h(vinvy_ref[...], t[xi], prec)
+
+
+def _passB_kernel(h_ref, vinvx_ref, vx_ref, den_ref, out_ref, *, by, n, prec):
+    dn = (((1,), (0,)), ((), ()))
+    g = _dot_h(vinvx_ref[...], h_ref[...], prec, dn)
+    g = g * den_ref[...]
+    out_ref[...] = _dot_h(vx_ref[...], g, prec, dn)
+
+
+def _passC_kernel(h_ref, vy_ref, vzT_ref, out_ref, *, bx, n, prec):
+    t = [_dot_h(vy_ref[...], h_ref[xi], prec) for xi in range(bx)]
+    t = jnp.stack(t).reshape(bx * n, n)
+    out_ref[...] = _dot_h(t, vzT_ref[...], prec).reshape(bx, n, n)
+
+
+def poisson_eigen_consts(Np, dxs, dtype):
+    """(V, Vinv, inv_den) for the cube fast-diagonalization solve, with
+    the nullspace (k=0) mode pinned to zero."""
+    n = Np[0]
+    V, Vinv, lam = fourier_eigenbasis(n, dxs[0])
+    vol = float(np.prod(dxs))
+    lams = []
+    for d in range(3):
+        _, _, lam_d = fourier_eigenbasis(Np[d], dxs[d])
+        lams.append(lam_d)
+    den = (
+        lams[0][:, None, None]
+        + lams[1][None, :, None]
+        + lams[2][None, None, :]
+    ) * vol
+    small = np.abs(den) < 1e-12 * np.max(np.abs(den))
+    inv_den = np.where(small, 0.0, 1.0 / np.where(small, 1.0, den))
+    c = lambda a: jnp.asarray(a, dtype)
+    return c(V), c(Vinv), c(inv_den)
+
+
+def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
+                        bx=8, by=8, interpret=False):
+    """Build `solve(f) -> p` (volume-scaled Laplacian, zero-mean pinned),
+    equivalent to ops/dft.py `make_poisson_mm` but in 3 Pallas HBM passes.
+    """
+    # cube required; the %128 lane gate in `poisson_pallas_supported` is a
+    # production dispatch criterion (full-dim blocks are legal at any n,
+    # which small interpret-mode tests rely on)
+    assert len(Np) == 3 and Np[0] == Np[1] == Np[2], Np
+    n = Np[0]
+    while n % bx != 0:
+        bx //= 2
+    while n % by != 0:
+        by //= 2
+    V, Vinv, inv_den = poisson_eigen_consts(Np, dxs, dtype)
+    prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
+    mm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    passA = pl.pallas_call(
+        functools.partial(_passA_kernel, bx=bx, n=n, prec=prec),
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            mm,
+            mm,
+        ],
+        out_specs=pl.BlockSpec(
+            (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    passB = pl.pallas_call(
+        functools.partial(_passB_kernel, by=by, n=n, prec=prec),
+        grid=(n // by,),
+        in_specs=[
+            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            mm,
+            mm,
+            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    passC = pl.pallas_call(
+        functools.partial(_passC_kernel, bx=bx, n=n, prec=prec),
+        grid=(n // bx,),
+        in_specs=[
+            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            mm,
+            mm,
+        ],
+        out_specs=pl.BlockSpec(
+            (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+
+    VinvT = jnp.asarray(np.asarray(Vinv).T, dtype)
+    VT = jnp.asarray(np.asarray(V).T, dtype)
+
+    def solve(f):
+        h = passA(f, Vinv, VinvT)
+        h = passB(h, Vinv, V, inv_den)
+        return passC(h, V, VT)
+
+    return solve
+
+
+def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
+                          interpret=False):
+    """Pieces for the fully-fused pressure projection: the stage kernel
+    emits divhat (z/y-forward fused in, `momentum_stage_divhat_3d`), pass
+    B here solves in x, and `pressure_correct_qhat_3d` consumes qhat
+    (z/y-inverse fused in) — so the whole Poisson solve costs ONE
+    standalone HBM pass.
+
+    Returns dict with `passB(h) -> qhat` and the transform matrices
+    (Vinv, VinvT, V, VT) the fused stage kernels take as inputs."""
+    assert len(Np) == 3 and Np[0] == Np[1] == Np[2], Np
+    n = Np[0]
+    while n % by != 0:
+        by //= 2
+    V, Vinv, inv_den = poisson_eigen_consts(Np, dxs, dtype)
+    prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
+    mm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    passB = pl.pallas_call(
+        functools.partial(_passB_kernel, by=by, n=n, prec=prec),
+        grid=(n // by,),
+        in_specs=[
+            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            mm,
+            mm,
+            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    return {
+        "passB": lambda h: passB(h, Vinv, V, inv_den),
+        "Vinv": Vinv,
+        "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
+        "V": V,
+        "VT": jnp.asarray(np.asarray(V).T, dtype),
+    }

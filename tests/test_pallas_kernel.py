@@ -44,6 +44,100 @@ def test_stage_div_kernel_matches_rolls():
     assert float(jnp.max(jnp.abs(dv - dv_ref))) < 1e-4
 
 
+def test_momentum_stage_div_kernel_matches_parts():
+    """momentum_stage_div_3d == convdiff + axpy + divergence rolls."""
+    from ins_tpu.ops.pallas_kernels import (
+        convdiff_interior_3d,
+        momentum_stage_div_3d,
+    )
+
+    n = 16
+    dx = (2 * np.pi / n, 1.0 / n, 0.5 / n)
+    vol = float(np.prod(dx))
+    visc = 1e-3
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    base = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    coeff = jnp.float32(0.21)
+    k, ut, dv = momentum_stage_div_3d(
+        u, base, coeff, visc, dx, interpret=True
+    )
+    k_ref = convdiff_interior_3d(u, visc, dx, interpret=True)
+    ut_ref = base + 0.21 * k_ref
+    dv_ref = (
+        sum((ut_ref[a] - jnp.roll(ut_ref[a], 1, a)) / dx[a] for a in range(3))
+        * vol
+    )
+    assert float(jnp.max(jnp.abs(k - k_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(dv - dv_ref))) < 1e-3
+
+
+@pytest.mark.parametrize("precision", ["highest", "manualhigh"])
+def test_poisson_pallas_matches_xla(precision):
+    """3-pass Pallas Poisson == XLA 6-contraction fast-diagonalization."""
+    from ins_tpu.ops.dft import make_poisson_mm
+    from ins_tpu.ops.poisson_pallas import make_poisson_pallas
+
+    n = 16
+    dx = 2 * np.pi / n
+    f = jax.random.normal(jax.random.PRNGKey(3), (n, n, n), jnp.float32)
+    ref = make_poisson_mm((n,) * 3, (dx,) * 3, jnp.float32)(f)
+    sol = make_poisson_pallas(
+        (n,) * 3, (dx,) * 3, jnp.float32, precision=precision, interpret=True
+    )(f)
+    scale = float(jnp.max(jnp.abs(ref)))
+    tol = 1e-5 if precision == "highest" else 5e-4
+    assert float(jnp.max(jnp.abs(sol - ref))) < tol * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("precision", ["highest", "manualhigh"])
+def test_fused_projection_chain_matches_unfused(precision):
+    """msd_hat -> passB -> pc_qhat == stage_div -> full solve -> correct."""
+    from ins_tpu.ops.dft import make_poisson_mm
+    from ins_tpu.ops.pallas_kernels import (
+        momentum_stage_div_3d,
+        momentum_stage_divhat_3d,
+        pressure_correct_3d,
+        pressure_correct_qhat_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    base = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    coeff = jnp.float32(0.13)
+
+    proj = make_fused_projection(
+        (n,) * 3, dx, jnp.float32, precision=precision, interpret=True
+    )
+    k, ut, divhat = momentum_stage_divhat_3d(
+        u, base, coeff, visc, dx, proj["Vinv"], proj["VinvT"],
+        precision=precision, interpret=True,
+    )
+    qhat = proj["passB"](divhat)
+    u_new = pressure_correct_qhat_3d(
+        ut, qhat, dx, proj["V"], proj["VT"],
+        precision=precision, interpret=True,
+    )
+
+    k_ref, ut_ref, div_ref = momentum_stage_div_3d(
+        u, base, coeff, visc, dx, interpret=True
+    )
+    q_ref = make_poisson_mm((n,) * 3, dx, jnp.float32)(div_ref)
+    u_ref = pressure_correct_3d(ut_ref, q_ref, dx, interpret=True)
+
+    tol = 1e-4 if precision == "highest" else 2e-3
+    assert float(jnp.max(jnp.abs(k - k_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(u_new - u_ref))) < tol * float(
+        jnp.max(jnp.abs(u_ref))
+    )
+
+
 def test_pressure_correct_kernel_matches_rolls():
     """pressure_correct_3d: u = ut - grad(q) == roll-graph reference."""
     from ins_tpu.ops.pallas_kernels import pressure_correct_3d
