@@ -25,7 +25,7 @@ from ins_tpu.time_steppers.step import create_stepper
 BASELINE_CUPS = 1.0e8  # assumed A100-parity anchor (cell-updates/s/chip)
 
 
-def run_case(N, nwarm, nstep):
+def run_case(N, nwarm, nstep, method=None):
     dtype = jnp.float32
     lims = (0.0, 2 * np.pi)
     x = tuple(np.linspace(*lims, N + 1) for _ in range(3))
@@ -36,7 +36,8 @@ def run_case(N, nwarm, nstep):
         jax.random.PRNGKey(1)
     )
 
-    method = ins.RKMethods.RK44()
+    if method is None:
+        method = ins.RKMethods.RK44()
     dt = jnp.asarray(1e-3 * 128 / N, dtype)
 
     from ins_tpu.ops.fastpath import (
@@ -78,6 +79,26 @@ def run_case(N, nwarm, nstep):
 def main():
     cups128, ms128 = run_case(128, 5, 20)
     cups256, ms256 = run_case(256, 5, 20)
+    extra = {
+        "ms_per_step_256": ms256,
+        "cups_128": cups128,
+        "ms_per_step_128": ms128,
+        "vs_baseline_128": cups128 / BASELINE_CUPS,
+    }
+    # Secondary configs: LMWray3 (3 stages/step, low-storage) at 256^3
+    # and the 512^3 single-chip RK44 run (1.6 GB velocity field).
+    try:
+        cups_w3, ms_w3 = run_case(256, 3, 20, method=ins.LMWray3())
+        extra["cups_256_lmwray3"] = cups_w3
+        extra["ms_per_step_256_lmwray3"] = ms_w3
+    except Exception as e:  # never fail the headline metric
+        extra["lmwray3_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        cups512, ms512 = run_case(512, 2, 5)
+        extra["cups_512"] = cups512
+        extra["ms_per_step_512"] = ms512
+    except Exception as e:
+        extra["512_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {
@@ -85,12 +106,7 @@ def main():
                 "value": cups256,
                 "unit": "cell-updates/s/chip",
                 "vs_baseline": cups256 / BASELINE_CUPS,
-                "extra": {
-                    "ms_per_step_256": ms256,
-                    "cups_128": cups128,
-                    "ms_per_step_128": ms128,
-                    "vs_baseline_128": cups128 / BASELINE_CUPS,
-                },
+                "extra": extra,
             }
         )
     )

@@ -49,7 +49,9 @@ from .utils.spectrum import (  # noqa: F401
     splitseed,
 )
 from .utils.checkpoint import (  # noqa: F401
+    async_checkpointer,
     checkpointer,
+    load_async_checkpoint,
     load_checkpoint,
     save_checkpoint,
 )

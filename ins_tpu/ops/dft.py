@@ -140,26 +140,34 @@ def make_poisson_mm(Np, dxs, dtype):
     D = len(Np)
     vol = float(np.prod(dxs))
     Vs, Vinvs, lams = [], [], []
+    eps = 0.0
     for d in range(D):
         V, Vinv, lam = fourier_eigenbasis(Np[d], dxs[d])
         Vs.append(jnp.asarray(V, dtype))
         Vinvs.append(jnp.asarray(Vinv, dtype))
-        lams.append(lam)
-    den = np.zeros(Np)
-    for d in range(D):
-        den = den + lams[d].reshape([-1 if i == d else 1 for i in range(D)])
-    den = den * vol
-    small = np.abs(den) < 1e-12 * np.max(np.abs(den))
-    inv_den = jnp.asarray(
-        np.where(small, 0.0, 1.0 / np.where(small, 1.0, den)), dtype
-    )
+        eps += float(np.max(np.abs(lam * vol)))
+        lams.append(jnp.asarray(lam * vol, dtype))
+    eps = 1e-12 * eps
     prec = lax.Precision.HIGHEST
 
     def solve(f):
         x = f
         for d in range(D):
             x = _tdot(Vinvs[d], x, d, prec)
-        x = x * inv_den
+        # Denominator built in-graph from the 1-D eigenvalue vectors (a
+        # precomputed N-D constant would embed n^3*4 bytes into the
+        # compile payload — 512 MB at 512^3; the broadcast-add fuses
+        # into the multiply, so this is also one less HBM read)
+        den = lams[0].reshape([-1] + [1] * (D - 1))
+        for d in range(1, D):
+            den = den + lams[d].reshape(
+                [-1 if i == d else 1 for i in range(D)]
+            )
+        x = jnp.where(
+            jnp.abs(den) < eps,
+            jnp.zeros_like(x),
+            x / jnp.where(den == 0.0, jnp.ones_like(den), den),
+        )
         for d in range(D):
             x = _tdot(Vs[d], x, d, prec)
         return x

@@ -39,6 +39,17 @@ __all__ = [
 ]
 
 
+def _pick_bx(n, planes_of_bx, budget_bytes=85 * 1024 * 1024):
+    """Deepest slab depth whose VMEM footprint (`planes_of_bx(bx)` planes
+    of n*n f32) fits the budget.  Probed at 256^3 (benchmarks/bx_probe.py):
+    stage cost falls monotonically with bx (ghost re-reads amortize as
+    (bx+3)/bx), so take the largest that fits."""
+    for bx in (8, 4, 2, 1):
+        if n % bx == 0 and planes_of_bx(bx) * n * n * 4 <= budget_bytes:
+            return bx
+    return 1
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -194,7 +205,7 @@ def convdiff_interior_3d(u_int, visc, dx, *, bx=None, interpret=False):
     if bx is None:
         # VMEM heuristic: double-buffered scratch 2*3*(bx+2)*n^2*4B plus
         # the pipelined output block and temporaries
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 12 * b + 12)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(
@@ -325,7 +336,7 @@ def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
     assert D == 3 and n == ny == nz
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 20 * b + 12)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(
@@ -501,7 +512,7 @@ def momentum_stage_div_3d(
     assert D == 3 and n == ny == nz
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 26 * b + 24)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(
@@ -678,7 +689,7 @@ def momentum_stage_divhat_3d(
     assert D == 3 and n == ny == nz
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 26 * b + 24)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(
@@ -803,7 +814,7 @@ def pressure_correct_qhat_3d(
     D, n, ny, nz = ut_int.shape
     assert D == 3 and n == ny == nz
     if bx is None:
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 14 * b + 2)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(
@@ -896,7 +907,7 @@ def pressure_correct_3d(ut_int, q_int, dxs, *, bx=None, interpret=False):
     D, n, ny, nz = ut_int.shape
     assert D == 3 and n == ny == nz
     if bx is None:
-        bx = 8 if n <= 128 else 2
+        bx = _pick_bx(n, lambda b: 14 * b + 2)
     while n % bx != 0:
         bx //= 2
     kernel = functools.partial(

@@ -85,10 +85,34 @@ def _passA_kernel(f_ref, vinvy_ref, vinvzT_ref, out_ref, *, bx, n, prec):
         out_ref[xi, :, :] = _dot_h(vinvy_ref[...], t[xi], prec)
 
 
-def _passB_kernel(h_ref, vinvx_ref, vx_ref, den_ref, out_ref, *, by, n, prec):
+def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
+                  *, by, n, prec, eps, dxs, vol):
+    """x-forward, eigen-scale, x-inverse.  The eigenvalue denominator is
+    generated in-kernel from its closed form (a precomputed (n,n,n)
+    constant would bloat the compile payload by n^3*4 bytes — 512 MB at
+    512^3 — and cost an extra HBM read per solve).
+
+    Eigenbasis ordering (ops/dft.py `fourier_eigenbasis`): columns are
+    [const, cos_1, sin_1, ..., cos_k, sin_k, ..., Nyquist], so the
+    eigenvalue at index k is -4 sin^2(pi*ceil(k/2)/n)/dx^2."""
+    j = pl.program_id(0)
     dn = (((1,), (0,)), ((), ()))
     g = _dot_h(vinvx_ref[...], h_ref[...], prec, dn)
-    g = g * den_ref[...]
+
+    def lam(idx, d):
+        kk = (idx + 1) // 2
+        s = jnp.sin((np.pi / n) * kk.astype(jnp.float32))
+        return (-4.0 / (dxs[d] * dxs[d])) * s * s
+
+    shape = (n, by, n)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * by
+    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    den = vol * (lam(ix, 0) + lam(iy, 1) + lam(iz, 2))
+    inv = jnp.where(
+        jnp.abs(den) < eps, 0.0, 1.0 / jnp.where(den == 0.0, 1.0, den)
+    )
+    g = g * inv
     out_ref[...] = _dot_h(vx_ref[...], g, prec, dn)
 
 
@@ -99,24 +123,19 @@ def _passC_kernel(h_ref, vy_ref, vzT_ref, out_ref, *, bx, n, prec):
 
 
 def poisson_eigen_consts(Np, dxs, dtype):
-    """(V, Vinv, inv_den) for the cube fast-diagonalization solve, with
-    the nullspace (k=0) mode pinned to zero."""
-    n = Np[0]
-    V, Vinv, lam = fourier_eigenbasis(n, dxs[0])
+    """(V, Vinv, eps) for the cube fast-diagonalization solve.  The 3-D
+    eigenvalue denominator is generated inside pass B from its closed
+    form (see `_passB_kernel`); `eps` is the nullspace pin threshold.
+    The k=0 mode (den == 0) maps to zero."""
+    V, Vinv, _ = fourier_eigenbasis(Np[0], dxs[0])
     vol = float(np.prod(dxs))
-    lams = []
+    maxden = 0.0
     for d in range(3):
         _, _, lam_d = fourier_eigenbasis(Np[d], dxs[d])
-        lams.append(lam_d)
-    den = (
-        lams[0][:, None, None]
-        + lams[1][None, :, None]
-        + lams[2][None, None, :]
-    ) * vol
-    small = np.abs(den) < 1e-12 * np.max(np.abs(den))
-    inv_den = np.where(small, 0.0, 1.0 / np.where(small, 1.0, den))
+        maxden += np.max(np.abs(lam_d)) * vol
+    eps = float(1e-12 * maxden)
     c = lambda a: jnp.asarray(a, dtype)
-    return c(V), c(Vinv), c(inv_den)
+    return c(V), c(Vinv), eps
 
 
 def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
@@ -133,7 +152,8 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
         bx //= 2
     while n % by != 0:
         by //= 2
-    V, Vinv, inv_den = poisson_eigen_consts(Np, dxs, dtype)
+    V, Vinv, eps = poisson_eigen_consts(Np, dxs, dtype)
+    vol = float(np.prod(dxs))
     prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
     mm = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -153,13 +173,15 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
         interpret=interpret,
     )
     passB = pl.pallas_call(
-        functools.partial(_passB_kernel, by=by, n=n, prec=prec),
+        functools.partial(
+            _passB_kernel, by=by, n=n, prec=prec, eps=eps,
+            dxs=tuple(map(float, dxs)), vol=vol,
+        ),
         grid=(n // by,),
         in_specs=[
             pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             mm,
             mm,
-            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
@@ -189,7 +211,7 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
 
     def solve(f):
         h = passA(f, Vinv, VinvT)
-        h = passB(h, Vinv, V, inv_den)
+        h = passB(h, Vinv, V)
         return passC(h, V, VT)
 
     return solve
@@ -209,17 +231,20 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
     n = Np[0]
     while n % by != 0:
         by //= 2
-    V, Vinv, inv_den = poisson_eigen_consts(Np, dxs, dtype)
+    V, Vinv, eps = poisson_eigen_consts(Np, dxs, dtype)
+    vol = float(np.prod(dxs))
     prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
     mm = pl.BlockSpec(memory_space=pltpu.VMEM)
     passB = pl.pallas_call(
-        functools.partial(_passB_kernel, by=by, n=n, prec=prec),
+        functools.partial(
+            _passB_kernel, by=by, n=n, prec=prec, eps=eps,
+            dxs=tuple(map(float, dxs)), vol=vol,
+        ),
         grid=(n // by,),
         in_specs=[
             pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
             mm,
             mm,
-            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
@@ -229,7 +254,7 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
         interpret=interpret,
     )
     return {
-        "passB": lambda h: passB(h, Vinv, V, inv_den),
+        "passB": lambda h: passB(h, Vinv, V),
         "Vinv": Vinv,
         "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
         "V": V,

@@ -15,7 +15,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpointer"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpointer",
+    "async_checkpointer",
+    "load_async_checkpoint",
+]
 
 
 def save_checkpoint(path, tree):
@@ -73,3 +79,63 @@ def checkpointer(path, *, nupdate=1, keep_last=1):
     p = Processor(initialize, update, lambda s, _: s, nupdate)
     p.ckpt_path = path  # solver NaN guard writes its emergency file here
     return p
+
+
+def async_checkpointer(path, *, nupdate=1, keep_last=2):
+    """Non-blocking checkpoint processor backed by Orbax's async
+    CheckpointManager: device->host transfer happens at the update, the
+    filesystem write runs in a background thread, so the solver's scan
+    chunks are never blocked on IO (pod-scale runs: orbax handles
+    multi-host coordination and sharded arrays natively).
+
+    Retention: `keep_last` checkpoints, managed by orbax.  Resume with
+    `load_async_checkpoint(path, like)` (latest step).
+    """
+    import orbax.checkpoint as ocp
+
+    from ..processors import Processor
+
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(path),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=keep_last, enable_async_checkpointing=True
+        ),
+    )
+
+    def initialize(state):
+        return mngr
+
+    def update(mngr, state):
+        payload = dict(u=state["u"], t=state["t"], n=state["n"])
+        if state.get("temp") is not None:
+            payload["temp"] = state["temp"]
+        mngr.save(int(state["n"]), args=ocp.args.StandardSave(payload))
+        return mngr
+
+    def finalize(mngr, state):
+        mngr.wait_until_finished()
+        return mngr
+
+    p = Processor(initialize, update, finalize, nupdate)
+    p.ckpt_path = path
+    return p
+
+
+def load_async_checkpoint(path, like=None, step=None):
+    """Load the latest (or given) step written by `async_checkpointer`.
+    `like`: optional pytree of arrays providing structure/dtype/sharding
+    for restoration."""
+    import orbax.checkpoint as ocp
+
+    mngr = ocp.CheckpointManager(os.path.abspath(path))
+    if step is None:
+        step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoints under {path}")
+    if like is None:
+        restored = mngr.restore(step)
+    else:
+        restored = mngr.restore(
+            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, like))
+        )
+    return jax.tree.map(jnp.asarray, dict(restored))
