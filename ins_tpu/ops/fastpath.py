@@ -228,22 +228,48 @@ def make_fast_timestep(setup, method):
 
         proj = make_fused_projection(Np, dxs, setup.dtype)
 
-    def fused_stage(u, base, coeff):
-        """momentum + axpy + divergence in one kernel pass, then the
-        projection: returns (k, u_next)."""
+    def fused_stage(u, streams, coeffs, *, emit_k=True, usnew_coeff=None):
+        """momentum + tableau accumulation + divergence in one kernel
+        pass, then the projection: returns (k|None, u_next, usnew|None).
+        ``streams`` is (ustart, k_j...) with ``coeffs`` their tableau
+        coefficients plus the new k's coefficient last (the base axpy
+        never materializes in HBM).  ``emit_k=False`` skips the k write
+        (final stages); ``usnew_coeff`` fuses LMWray3's accumulator
+        update ``ustart + c*k`` as an extra kernel output."""
         if use_fused_proj:
-            k, ut, divhat = momentum_stage_divhat_3d(
-                u, base, coeff, visc_static, dxs, proj["Vinv"], proj["VinvT"]
+            res = momentum_stage_divhat_3d(
+                u, streams, coeffs, visc_static, dxs,
+                proj["Vinv"], proj["VinvT"],
+                emit_k=emit_k, usnew_coeff=usnew_coeff,
             )
+            res = list(res)
+            k = res.pop(0) if emit_k else None
+            ut, divhat = res.pop(0), res.pop(0)
+            usnew = res.pop(0) if usnew_coeff is not None else None
             qhat = proj["passB"](divhat)
             return k, pressure_correct_qhat_3d(
                 ut, qhat, dxs, proj["V"], proj["VT"]
-            )
-        k, ut, div = momentum_stage_div_3d(u, base, coeff, visc_static, dxs)
-        return k, pressure_correct_3d(ut, solve_p(div), dxs)
+            ), usnew
+        base = streams[0]
+        for c, s in zip(coeffs[:-1], streams[1:]):
+            base = base + c * s
+        k, ut, div = momentum_stage_div_3d(
+            u, base, coeffs[-1], visc_static, dxs
+        )
+        usnew = (
+            streams[0] + usnew_coeff * k if usnew_coeff is not None else None
+        )
+        return k, pressure_correct_3d(ut, solve_p(div), dxs), usnew
 
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
+
+        # NOTE on the merged pc+msd kernel (`pcmsd_hat_3d`): eliminating
+        # the corrected velocity's HBM round-trip measured SLOWER end to
+        # end (256^3: 14.2 vs 13.3 ms/step; 128^3: 6.4 vs 2.7) — the
+        # stage kernels are compute-bound at this point and the merge
+        # adds (bx+4)/bx transform recompute, so the unmerged chain below
+        # is the production path.
 
         def step(state, dt, theta):
             u, _, t, n = state
@@ -251,21 +277,28 @@ def make_fast_timestep(setup, method):
             ustart = u
             ku = []
             for i in range(ns):
-                # base = ustart + dt * sum_{j<i} A[i][j] k_j (an axpy chain
-                # XLA fuses into one pass; empty for the classic RK44 rows),
-                # then the fused update-with-projection by the new k.
+                if use_fused_stage:
+                    t = tstart + c[i] * dt
+                    streams = [ustart]
+                    coeffs = []
+                    for j in range(i):
+                        if A[i][j] != 0.0:
+                            streams.append(ku[j])
+                            coeffs.append(dt * A[i][j])
+                    coeffs.append(dt * A[i][i])
+                    k, u, _ = fused_stage(
+                        u, streams, coeffs, emit_k=(i < ns - 1)
+                    )
+                    if k is not None:
+                        ku.append(k)
+                    continue
+                # base = ustart + dt * sum_{j<i} A[i][j] k_j (an axpy
+                # chain XLA fuses into one pass; empty for the classic
+                # RK44 rows), then the fused update-with-projection.
                 base = ustart
                 for j in range(i):
                     if A[i][j] != 0.0:
                         base = base + (dt * A[i][j]) * ku[j]
-                if use_fused_stage:
-                    # momentum has no time dependence on this path (no
-                    # bodyforce/closure), so evaluating within the fused
-                    # kernel is exact.
-                    t = tstart + c[i] * dt
-                    k, u = fused_stage(u, base, dt * A[i][i])
-                    ku.append(k)
-                    continue
                 ku.append(momentum(u, t, theta))
                 t = tstart + c[i] * dt
                 if A[i][i] != 0.0:
@@ -285,10 +318,17 @@ def make_fast_timestep(setup, method):
             for i in range(ns):
                 ti = tstart + c_[i] * dt
                 if use_fused_stage:
-                    du, u = fused_stage(u, ustart, dt * a_[i])
-                else:
-                    du = momentum(u, ti, theta)
-                    u = stage_project(ustart, du, dt * a_[i])
+                    # du itself is never needed: the accumulator update
+                    # ustart += dt*b_i*du is a fused kernel output
+                    _, u, usnew = fused_stage(
+                        u, (ustart,), (dt * a_[i],), emit_k=False,
+                        usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
+                    )
+                    if i < ns - 1:
+                        ustart = usnew
+                    continue
+                du = momentum(u, ti, theta)
+                u = stage_project(ustart, du, dt * a_[i])
                 if i < ns - 1:
                     ustart = ustart + dt * b_[i] * du
             return StepperState(u=u, temp=None, t=tstart + dt, n=n + 1)

@@ -33,6 +33,7 @@ __all__ = [
     "stage_div_3d",
     "momentum_stage_div_3d",
     "momentum_stage_divhat_3d",
+    "pcmsd_hat_3d",
     "pressure_correct_3d",
     "pressure_correct_qhat_3d",
     "pallas_supported",
@@ -85,6 +86,46 @@ def _mm_h_left(asplit, b, manualhigh):
     ah, al = asplit
     kw = dict(preferred_element_type=jnp.float32)
     return jnp.dot(ah, bh, **kw) + jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw)
+
+
+def _rp(v, axis):  # v[I + e_axis] (y/z periodic roll)
+    return pltpu.roll(v, v.shape[axis] - 1, axis)
+
+
+def _rm(v, axis):  # v[I - e_axis]
+    return pltpu.roll(v, 1, axis)
+
+
+def _convdiff_window(at, visc, dx, a):
+    """Fused convection+diffusion for component ``a`` on an x-plane
+    window.  ``at(a, lo_sh, hi_off)`` returns planes [lo_sh, W+hi_off)
+    of the (W = bx+3)-plane component window (shifted-flux convection;
+    see `_convdiff3d_kernel` docs).  Returns f on the center bx+1
+    planes."""
+    u_c = at(a, 1, -1)
+    uE = at(a, 0, 0)
+    uab2E = 0.5 * (uE[:-1] + uE[1:])
+    if a == 0:
+        ubaE = uab2E
+    else:
+        uxE = at(0, 0, -1)
+        ubaE = 0.5 * (uxE + _rp(uxE, a))
+    phiE = uab2E * ubaE
+    f = (phiE[:-1] - phiE[1:]) / dx[0]
+    f += (visc / (dx[0] * dx[0])) * (at(a, 2, 0) - 2.0 * u_c + at(a, 0, -2))
+    for b in (1, 2):
+        u_pb = _rp(u_c, b)
+        f += (visc / (dx[b] * dx[b])) * (u_pb - 2.0 * u_c + _rm(u_c, b))
+        uab2 = 0.5 * (u_c + u_pb)
+        if a == b:
+            uba2 = uab2
+        else:
+            ub_c = at(b, 1, -1)
+            ub_pa = at(b, 2, 0) if a == 0 else _rp(ub_c, a)
+            uba2 = 0.5 * (ub_c + ub_pa)
+        phi = uab2 * uba2
+        f -= (phi - _rm(phi, b)) / dx[b]
+    return f
 
 
 def pallas_supported(setup):
@@ -559,14 +600,34 @@ def momentum_stage_div_3d(
 
 
 def _msd_hat_kernel(
-    coeff_smem, u_hbm, base_hbm, vinvy_hbm, vinvzT_hbm,
-    k_out, ut_out, divhat_out, su, sb, sems,
-    *, visc, dx, vol, bx, n, manualhigh,
+    coeffs_smem, u_hbm, *args,
+    visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
 ):
-    """_momentum_stage_div_kernel + in-kernel z/y forward eigen-transform
-    of the divergence: outputs divhat[p] = Vinv_y @ (div[p] @ Vinv_z^T)
-    per x-plane, so the Poisson solve's pass A never re-reads div from
-    HBM (the transform rides the slab while its DMA streams)."""
+    """_momentum_stage_div_kernel + in-kernel tableau accumulation +
+    z/y forward eigen-transform of the divergence.
+
+    The stage base is accumulated from its raw streams (`ustart` plus the
+    ``m`` earlier-stage k's with nonzero tableau entries) INSIDE the
+    kernel — the XLA axpy that previously materialized `base` cost up to
+    15 full-field HBM passes per RK44 step.  Outputs divhat[p] =
+    Vinv_y @ (div[p] @ Vinv_z^T) per x-plane, so the Poisson solve's
+    pass A never re-reads div from HBM.
+
+    ``emit_k=False`` drops the k output (the final stage's k is never
+    read).  ``with_usnew`` adds output ustart + coeffs[-1]*k (LMWray3's
+    low-storage accumulator update, fused instead of a separate 3-read
+    axpy pass; its coefficient rides at the END of the SMEM array)."""
+    streams = args[: m + 1]       # ustart, k_1..k_m
+    vinvy_hbm = args[m + 1]
+    vinvzT_hbm = args[m + 2]
+    outs = list(args[m + 3 : m + 3 + emit_k + 2 + with_usnew])
+    rest = args[m + 3 + emit_k + 2 + with_usnew :]
+    k_out = outs.pop(0) if emit_k else None
+    ut_out = outs.pop(0)
+    divhat_out = outs.pop(0)
+    usnew_out = outs.pop(0) if with_usnew else None
+    su, sb, sems = rest
+
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
@@ -576,7 +637,7 @@ def _msd_hat_kernel(
         lo1 = (start - 1 + n) % n
         lo2 = (start - 2 + n) % n
         hi = (start + bx) % n
-        return (
+        cps = [
             pltpu.make_async_copy(
                 u_hbm.at[:, pl.ds(start, bx)],
                 su.at[s, :, pl.ds(2, bx)],
@@ -597,17 +658,23 @@ def _msd_hat_kernel(
                 su.at[s, :, pl.ds(bx + 2, 1)],
                 sems.at[s, 3],
             ),
-            pltpu.make_async_copy(
-                base_hbm.at[:, pl.ds(start, bx)],
-                sb.at[s, :, pl.ds(1, bx)],
-                sems.at[s, 4],
-            ),
-            pltpu.make_async_copy(
-                base_hbm.at[:, pl.ds(lo1, 1)],
-                sb.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 5],
-            ),
-        )
+        ]
+        for q, st in enumerate(streams):
+            cps.append(
+                pltpu.make_async_copy(
+                    st.at[:, pl.ds(start, bx)],
+                    sb.at[s, q, :, pl.ds(1, bx)],
+                    sems.at[s, 4 + 2 * q],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    st.at[:, pl.ds(lo1, 1)],
+                    sb.at[s, q, :, pl.ds(0, 1)],
+                    sems.at[s, 5 + 2 * q],
+                )
+            )
+        return cps
 
     @pl.when(i == 0)
     def _():
@@ -625,48 +692,42 @@ def _msd_hat_kernel(
     def at(a, lo_sh, hi_off):
         return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
-    def rp(v, axis):
-        return pltpu.roll(v, v.shape[axis] - 1, axis)
+    _stage_tail(
+        at, coeffs_smem, sb, slot,
+        k_out, ut_out, divhat_out, usnew_out,
+        vinvy_hbm, vinvzT_hbm,
+        visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
+        emit_k=emit_k, with_usnew=with_usnew,
+    )
 
-    def rm(v, axis):
-        return pltpu.roll(v, 1, axis)
 
-    c = coeff_smem[0]
+def _stage_tail(
+    at, coeffs_smem, sb, slot, k_out, ut_out, divhat_out, usnew_out,
+    vinvy_hbm, vinvzT_hbm,
+    *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew,
+):
+    """Shared stage tail: conv-diff on the window, optional k / usnew
+    outputs, tableau accumulation, divergence, z/y forward transform."""
     d = None
     for a in range(3):
-        u_c = at(a, 1, -1)
-        uE = at(a, 0, 0)
-        uab2E = 0.5 * (uE[:-1] + uE[1:])
-        if a == 0:
-            ubaE = uab2E
-        else:
-            uxE = at(0, 0, -1)
-            ubaE = 0.5 * (uxE + rp(uxE, a))
-        phiE = uab2E * ubaE
-        f = (phiE[:-1] - phiE[1:]) / dx[0]
-        f += (visc / (dx[0] * dx[0])) * (
-            at(a, 2, 0) - 2.0 * u_c + at(a, 0, -2)
-        )
-        for b in (1, 2):
-            u_pb = rp(u_c, b)
-            f += (visc / (dx[b] * dx[b])) * (u_pb - 2.0 * u_c + rm(u_c, b))
-            uab2 = 0.5 * (u_c + u_pb)
-            if a == b:
-                uba2 = uab2
-            else:
-                ub_c = at(b, 1, -1)
-                ub_pa = at(b, 2, 0) if a == 0 else rp(ub_c, a)
-                uba2 = 0.5 * (ub_c + ub_pa)
-            phi = uab2 * uba2
-            f -= (phi - rm(phi, b)) / dx[b]
-        k_out[a, :, :, :] = f[1:]
-        utw = sb[slot, a] + c * f
+        f = _convdiff_window(at, visc, dx, a)
+        if emit_k:
+            k_out[a, :, :, :] = f[1:]
+        if with_usnew:
+            usnew_out[a, :, :, :] = (
+                sb[slot, 0, a][1:] + coeffs_smem[m + 1] * f[1:]
+            )
+        # tableau accumulation: ustart + sum_j c_j k_j + c_new f
+        utw = sb[slot, 0, a]
+        for q in range(1, m + 1):
+            utw = utw + coeffs_smem[q - 1] * sb[slot, q, a]
+        utw = utw + coeffs_smem[m] * f
         ut_c = utw[1:]
         ut_out[a, :, :, :] = ut_c
         if a == 0:
             d = (utw[1:] - utw[:-1]) / dx[0]
         else:
-            d += (ut_c - rm(ut_c, a)) / dx[a]
+            d += (ut_c - _rm(ut_c, a)) / dx[a]
     d = d * vol
     # z/y forward transform, per plane (Poisson pass A fused in)
     vinvy_s = _split_bf16(vinvy_hbm[...])
@@ -677,21 +738,40 @@ def _msd_hat_kernel(
 
 
 def momentum_stage_divhat_3d(
-    u_int, base_int, coeff, visc, dxs, vinvy, vinvzT,
+    u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
+    emit_k=True, usnew_coeff=None,
 ):
-    """Fused momentum + RK stage + divergence + z/y-forward
-    eigen-transform: returns ``(k, ut, divhat)`` where
-    ``divhat[p] = Vinv_y @ (vol*div(ut)[p] @ Vinv_z^T)``.  Combined with
-    `poisson_passB` and `pressure_correct_qhat_3d` this runs the entire
-    pressure projection with a single standalone HBM pass (pass B)."""
+    """Fused momentum + RK tableau accumulation + divergence +
+    z/y-forward eigen-transform (one HBM pass):
+
+        k   = convdiff(u)
+        ut  = streams[0] + sum_j coeffs[j-1]*streams[j] + coeffs[-1]*k
+        divhat[p] = Vinv_y @ (vol*div(ut)[p] @ Vinv_z^T)
+
+    ``streams``: (ustart, k_1, ..., k_m) interior-layout fields (the
+    nonzero-tableau-entry streams of the stage); ``coeffs``: m+1 traced
+    scalars (one per k-stream, then the new k's coefficient).  Returns
+    ``(k, ut, divhat)``; with ``emit_k=False`` the k output is dropped
+    (``(ut, divhat)``) — the final stage's k is never read; with
+    ``usnew_coeff`` an extra output ``ustart + usnew_coeff*k`` is
+    appended (LMWray3's accumulator update fused in).  Combined with
+    `poisson passB` and `pressure_correct_qhat_3d` the entire pressure
+    projection costs a single standalone HBM pass (reference flow:
+    momentum! + tableau axpy sweeps + psolver,
+    step_explicit_runge_kutta.jl:36-50)."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
+    streams = tuple(streams)
+    coeffs = tuple(coeffs)
+    m = len(streams) - 1
+    assert len(coeffs) == m + 1
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = _pick_bx(n, lambda b: 26 * b + 24)
+        bx = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * (m + 1) * (b + 1) + 14 * b)
     while n % bx != 0:
         bx //= 2
+    with_usnew = usnew_coeff is not None
     kernel = functools.partial(
         _msd_hat_kernel,
         visc=float(visc),
@@ -700,42 +780,286 @@ def momentum_stage_divhat_3d(
         bx=bx,
         n=n,
         manualhigh=(precision == "manualhigh"),
+        m=m,
+        emit_k=emit_k,
+        with_usnew=with_usnew,
     )
-    coeff_arr = jnp.reshape(coeff, (1,)).astype(u_int.dtype)
+    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    coeff_arr = jnp.stack(
+        [jnp.asarray(c, u_int.dtype) for c in all_coeffs]
+    ).reshape(len(all_coeffs))
+    vec_spec = pl.BlockSpec(
+        (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca_spec = pl.BlockSpec(
+        (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_shape = jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype)
+    out_specs = (
+        ([vec_spec] if emit_k else [])
+        + [vec_spec, sca_spec]
+        + ([vec_spec] if with_usnew else [])
+    )
+    out_shape = (
+        ([vec_shape] if emit_k else [])
+        + [vec_shape, jax.ShapeDtypeStruct((n, n, n), u_int.dtype)]
+        + ([vec_shape] if with_usnew else [])
+    )
     return pl.pallas_call(
         kernel,
         grid=(n // bx,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 2)
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
-            jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
-            jax.ShapeDtypeStruct((n, n, n), u_int.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
-            pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.VMEM((2, m + 1, 3, bx + 1, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 4 + 2 * (m + 1))),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(coeff_arr, u_int, base_int, vinvy, vinvzT)
+    )(coeff_arr, u_int, *streams, vinvy, vinvzT)
+
+
+def _pcmsd_hat_kernel(
+    coeffs_smem, utprev_hbm, qhat_hbm, *args,
+    visc, dx, vol, bx, n, manualhigh, m, emit_k, with_usnew,
+):
+    """Merged pressure-correction + next-stage momentum kernel.
+
+    The previous stage's velocity u = ut_prev - grad(q) is reconstructed
+    IN VMEM (q inverse-transformed from qhat in-kernel) and immediately
+    consumed by the conv-diff stencil — u never round-trips HBM between
+    interior RK stages.  Windows: ut_prev planes [start-2, start+bx]
+    (conv-diff needs u there), qhat planes [start-2, start+bx+1] (the
+    x-gradient needs q one plane above u's window)."""
+    streams = args[: m + 1]
+    vy_hbm = args[m + 1]
+    vzT_hbm = args[m + 2]
+    vinvy_hbm = args[m + 3]
+    vinvzT_hbm = args[m + 4]
+    outs = list(args[m + 5 : m + 5 + emit_k + 2 + with_usnew])
+    rest = args[m + 5 + emit_k + 2 + with_usnew :]
+    k_out = outs.pop(0) if emit_k else None
+    ut_out = outs.pop(0)
+    divhat_out = outs.pop(0)
+    usnew_out = outs.pop(0) if with_usnew else None
+    su, sq, sb, sems = rest
+
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def copies(j, s):
+        start = j * bx
+        lo1 = (start - 1 + n) % n
+        lo2 = (start - 2 + n) % n
+        hi = (start + bx) % n
+        hi2 = (start + bx + 1) % n
+        cps = [
+            pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(start, bx)],
+                su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(lo1, 1)],
+                su.at[s, :, pl.ds(1, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(lo2, 1)],
+                su.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(hi, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)],
+                sems.at[s, 3],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(start, bx)],
+                sq.at[s, pl.ds(2, bx)],
+                sems.at[s, 4],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(lo1, 1)],
+                sq.at[s, pl.ds(1, 1)],
+                sems.at[s, 5],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(lo2, 1)],
+                sq.at[s, pl.ds(0, 1)],
+                sems.at[s, 6],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(hi, 1)],
+                sq.at[s, pl.ds(bx + 2, 1)],
+                sems.at[s, 7],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(hi2, 1)],
+                sq.at[s, pl.ds(bx + 3, 1)],
+                sems.at[s, 8],
+            ),
+        ]
+        for q, st in enumerate(streams):
+            cps.append(
+                pltpu.make_async_copy(
+                    st.at[:, pl.ds(start, bx)],
+                    sb.at[s, q, :, pl.ds(1, bx)],
+                    sems.at[s, 9 + 2 * q],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    st.at[:, pl.ds(lo1, 1)],
+                    sb.at[s, q, :, pl.ds(0, 1)],
+                    sems.at[s, 10 + 2 * q],
+                )
+            )
+        return cps
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    # inverse transform the bx+4 qhat planes: q = V_y @ qhat @ V_z^T
+    vy_s = _split_bf16(vy_hbm[...])
+    vzT_s = _split_bf16(vzT_hbm[...])
+    qplanes = []
+    for p in range(bx + 4):
+        t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
+        qplanes.append(_mm_h(t, vzT_s, manualhigh))
+    qw = jnp.stack(qplanes)  # planes [start-2, start+bx+1]
+
+    # u = ut_prev - grad(q) on planes [start-2, start+bx] (bx+3)
+    qc = qw[: bx + 3]
+    uw = [
+        su[slot, 0] - (qw[1:] - qw[:-1]) / dx[0],
+        su[slot, 1] - (_rp(qc, 1) - qc) / dx[1],
+        su[slot, 2] - (_rp(qc, 2) - qc) / dx[2],
+    ]
+
+    def at(a, lo_sh, hi_off):
+        return uw[a][lo_sh : bx + 3 + hi_off, :, :]
+
+    _stage_tail(
+        at, coeffs_smem, sb, slot,
+        k_out, ut_out, divhat_out, usnew_out,
+        vinvy_hbm, vinvzT_hbm,
+        visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
+        emit_k=emit_k, with_usnew=with_usnew,
+    )
+
+
+def pcmsd_hat_3d(
+    ut_prev, qhat, streams, coeffs, visc, dxs, proj,
+    *, precision="manualhigh", bx=None, interpret=False,
+    emit_k=True, usnew_coeff=None,
+):
+    """Merged pressure-correction + momentum + stage + divergence, one
+    HBM pass: reconstructs ``u = ut_prev - grad(q)`` in VMEM (q's
+    z/y-inverse transform fused in), evaluates conv-diff on it, and runs
+    the next stage's tableau accumulation / divergence / z/y-forward
+    transform — the corrected velocity never touches HBM between
+    interior RK stages.  ``proj`` is a `make_fused_projection` dict.
+    Output layout matches `momentum_stage_divhat_3d`.
+
+    NOT on the production fast path: measured end-to-end it LOSES to the
+    unmerged chain (256^3 RK44 14.2 vs 13.3 ms/step, 128^3 6.4 vs 2.7 on
+    v5e) — at that point the stage kernels are compute-bound and the
+    merge adds (bx+4)/bx inverse-transform recompute per slab.  Kept as
+    a correctness-tested building block (tests/test_pallas_kernel.py)
+    for configurations where DMA, not compute, binds."""
+    D, n, ny, nz = ut_prev.shape
+    assert D == 3 and n == ny == nz
+    streams = tuple(streams)
+    coeffs = tuple(coeffs)
+    m = len(streams) - 1
+    assert len(coeffs) == m + 1
+    vol = float(np.prod(dxs))
+    with_usnew = usnew_coeff is not None
+    if bx is None:
+        nout = 3 * int(emit_k) + 3 + 1 + 3 * int(with_usnew)
+        bx = _pick_bx(
+            n,
+            lambda b: 6 * (b + 3) + 2 * (b + 4) + 6 * (m + 1) * (b + 1)
+            + 2 * nout * b,
+        )
+    while n % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _pcmsd_hat_kernel,
+        visc=float(visc),
+        dx=tuple(map(float, dxs)),
+        vol=vol,
+        bx=bx,
+        n=n,
+        manualhigh=(precision == "manualhigh"),
+        m=m,
+        emit_k=emit_k,
+        with_usnew=with_usnew,
+    )
+    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    coeff_arr = jnp.stack(
+        [jnp.asarray(c, ut_prev.dtype) for c in all_coeffs]
+    ).reshape(len(all_coeffs))
+    vec_spec = pl.BlockSpec(
+        (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca_spec = pl.BlockSpec(
+        (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_shape = jax.ShapeDtypeStruct((3, n, n, n), ut_prev.dtype)
+    out_specs = (
+        ([vec_spec] if emit_k else [])
+        + [vec_spec, sca_spec]
+        + ([vec_spec] if with_usnew else [])
+    )
+    out_shape = (
+        ([vec_shape] if emit_k else [])
+        + [vec_shape, jax.ShapeDtypeStruct((n, n, n), ut_prev.dtype)]
+        + ([vec_shape] if with_usnew else [])
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 3)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 3, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, bx + 4, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, m + 1, 3, bx + 1, n, n), ut_prev.dtype),
+            pltpu.SemaphoreType.DMA((2, 9 + 2 * (m + 1))),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        coeff_arr, ut_prev, qhat, *streams,
+        proj["V"], proj["VT"], proj["Vinv"], proj["VinvT"],
+    )
 
 
 def _pc_qhat_kernel(

@@ -115,7 +115,7 @@ def test_fused_projection_chain_matches_unfused(precision):
         (n,) * 3, dx, jnp.float32, precision=precision, interpret=True
     )
     k, ut, divhat = momentum_stage_divhat_3d(
-        u, base, coeff, visc, dx, proj["Vinv"], proj["VinvT"],
+        u, (base,), (coeff,), visc, dx, proj["Vinv"], proj["VinvT"],
         precision=precision, interpret=True,
     )
     qhat = proj["passB"](divhat)
@@ -136,6 +136,92 @@ def test_fused_projection_chain_matches_unfused(precision):
     assert float(jnp.max(jnp.abs(u_new - u_ref))) < tol * float(
         jnp.max(jnp.abs(u_ref))
     )
+
+
+def test_momentum_stage_divhat_multistream():
+    """In-kernel tableau accumulation over several streams == the XLA
+    axpy followed by the single-stream form."""
+    from ins_tpu.ops.pallas_kernels import momentum_stage_divhat_3d
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    c1, c2, cn = 0.3, -0.7, 0.11
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    k, ut, dh = momentum_stage_divhat_3d(
+        u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+        proj["Vinv"], proj["VinvT"], interpret=True,
+    )
+    base = ustart + c1 * k1 + c2 * k2
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u, (base,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(k - k_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(dh - dh_ref))) < 1e-2
+
+    # emit_k=False drops the k output; usnew_coeff appends ustart + c*k
+    ut2, dh2, usnew = momentum_stage_divhat_3d(
+        u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+        proj["Vinv"], proj["VinvT"], interpret=True,
+        emit_k=False, usnew_coeff=0.5,
+    )
+    assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(usnew - (ustart + 0.5 * k_ref)))) < 1e-4
+
+
+def test_pcmsd_matches_pc_then_msd():
+    """Merged pc+msd kernel == pressure_correct_qhat followed by
+    momentum_stage_divhat on the corrected velocity."""
+    from ins_tpu.ops.pallas_kernels import (
+        momentum_stage_divhat_3d,
+        pcmsd_hat_3d,
+        pressure_correct_qhat_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(6)
+    ut_prev = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    qhat = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    c1, cn = 0.4, 0.17
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    k, ut, dh = pcmsd_hat_3d(
+        ut_prev, qhat, (ustart, k1), (c1, cn), visc, dx, proj,
+        interpret=True,
+    )
+
+    u_ref = pressure_correct_qhat_3d(
+        ut_prev, qhat, dx, proj["V"], proj["VT"], interpret=True
+    )
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u_ref, (ustart, k1), (c1, cn), visc, dx,
+        proj["Vinv"], proj["VinvT"], interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(k - k_ref))) < 1e-3
+    assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-3
+    assert float(jnp.max(jnp.abs(dh - dh_ref))) < 5e-2
+
+    # emit_k=False + usnew output
+    ut2, dh2, usn = pcmsd_hat_3d(
+        ut_prev, qhat, (ustart, k1), (c1, cn), visc, dx, proj,
+        interpret=True, emit_k=False, usnew_coeff=0.25,
+    )
+    assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 1e-3
+    assert float(jnp.max(jnp.abs(usn - (ustart + 0.25 * k_ref)))) < 1e-3
 
 
 def test_pressure_correct_kernel_matches_rolls():
