@@ -99,6 +99,12 @@ def main():
         extra["ms_per_step_512"] = ms512
     except Exception as e:
         extra["512_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        cups512w, ms512w = run_case(512, 2, 5, method=ins.LMWray3())
+        extra["cups_512_lmwray3"] = cups512w
+        extra["ms_per_step_512_lmwray3"] = ms512w
+    except Exception as e:
+        extra["512_lmwray3_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {

@@ -38,7 +38,7 @@ def main():
 
         def stage(u):
             k, ut, divhat = momentum_stage_divhat_3d(
-                u, u, jnp.float32(1e-3), visc, dx,
+                u, (u,), (jnp.float32(1e-3),), visc, dx,
                 proj["Vinv"], proj["VinvT"], bx=bx,
             )
             qhat = proj["passB"](divhat)

@@ -60,12 +60,18 @@ def _roll_m(v, d):  # v[I - e_d]
     return jnp.roll(v, 1, axis=d)
 
 
-def make_fast_timestep(setup, method):
+def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
     Reproduces the math of the ghosted ERK/LMWray3 steppers (which mirror
     reference step_explicit_runge_kutta.jl / step_lmwray3.jl) for the
     periodic-uniform case where all interpolation weights are 1/2.
+
+    ``projection_precision``: precision of the Poisson eigen-transform
+    matmuls on the Pallas path — "manualhigh" (default, ~Precision.HIGH,
+    projection residual ~4e-5, fastest) or "highest" (f32-exact,
+    residual ~2e-6, ~0.6 ms/solve slower at 256^3).  See
+    docs/manual/precision.md.
     """
     g = setup.grid
     D = g.dim
@@ -94,7 +100,9 @@ def make_fast_timestep(setup, method):
             poisson_pallas_supported(Np) and jax.default_backend() == "tpu"
         )
         if use_pallas_poisson:
-            poisson_mm = make_poisson_pallas(Np, dxs, setup.dtype)
+            poisson_mm = make_poisson_pallas(
+                Np, dxs, setup.dtype, precision=projection_precision
+            )
         else:
             poisson_mm = make_poisson_mm(Np, dxs, setup.dtype)
     else:
@@ -141,11 +149,17 @@ def make_fast_timestep(setup, method):
     # pass (the stage's k never round-trips between the convdiff eval and
     # the stage update). Requires the plain convdiff momentum (no
     # bodyforce / closure terms, which are added outside the kernel).
+    _fusable_cube = (
+        len(Np) == 3 and Np[0] == Np[1] == Np[2] and Np[0] % 128 == 0
+    )
+    # A STEADY body force rides the fused kernel as one extra DMA stream
+    # (with_bf); unsteady (time-dependent callable) forces and closures
+    # stay on the momentum() path.
+    _no_bf = setup.bodyforce is None and setup.bodyforce_field is None
     use_fused_stage = (
         use_pallas
-        and setup.bodyforce is None
-        and setup.bodyforce_field is None
         and setup.closure_model is None
+        and (_no_bf or (bodyforce_int is not None and _fusable_cube))
     )
 
     def convdiff(u):
@@ -220,13 +234,13 @@ def make_fast_timestep(setup, method):
     # (which needs n>=256 to win): with the transforms riding the stage
     # kernels' DMA, the fused form wins at 128^3 too (2.81 vs 2.83/2.96
     # ms/step measured).
-    use_fused_proj = use_fused_stage and (
-        len(Np) == 3 and Np[0] == Np[1] == Np[2] and Np[0] % 128 == 0
-    )
+    use_fused_proj = use_fused_stage and _fusable_cube
     if use_fused_proj:
         from .poisson_pallas import make_fused_projection
 
-        proj = make_fused_projection(Np, dxs, setup.dtype)
+        proj = make_fused_projection(
+            Np, dxs, setup.dtype, precision=projection_precision
+        )
 
     def fused_stage(u, streams, coeffs, *, emit_k=True, usnew_coeff=None):
         """momentum + tableau accumulation + divergence in one kernel
@@ -241,6 +255,7 @@ def make_fast_timestep(setup, method):
                 u, streams, coeffs, visc_static, dxs,
                 proj["Vinv"], proj["VinvT"],
                 emit_k=emit_k, usnew_coeff=usnew_coeff,
+                bodyforce=bodyforce_int,
             )
             res = list(res)
             k = res.pop(0) if emit_k else None
@@ -250,6 +265,7 @@ def make_fast_timestep(setup, method):
             return k, pressure_correct_qhat_3d(
                 ut, qhat, dxs, proj["V"], proj["VT"]
             ), usnew
+        assert bodyforce_int is None  # gate guarantees it off this branch
         base = streams[0]
         for c, s in zip(coeffs[:-1], streams[1:]):
             base = base + c * s

@@ -40,7 +40,7 @@ __all__ = [
 ]
 
 
-def _pick_bx(n, planes_of_bx, budget_bytes=85 * 1024 * 1024):
+def _pick_bx(n, planes_of_bx, budget_bytes=96 * 1024 * 1024):
     """Deepest slab depth whose VMEM footprint (`planes_of_bx(bx)` planes
     of n*n f32) fits the budget.  Probed at 256^3 (benchmarks/bx_probe.py):
     stage cost falls monotonically with bx (ghost re-reads amortize as
@@ -593,7 +593,7 @@ def momentum_stage_div_3d(
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(coeff_arr, u_int, base_int)
@@ -602,6 +602,7 @@ def momentum_stage_div_3d(
 def _msd_hat_kernel(
     coeffs_smem, u_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
+    with_bf=False,
 ):
     """_momentum_stage_div_kernel + in-kernel tableau accumulation +
     z/y forward eigen-transform of the divergence.
@@ -616,12 +617,15 @@ def _msd_hat_kernel(
     ``emit_k=False`` drops the k output (the final stage's k is never
     read).  ``with_usnew`` adds output ustart + coeffs[-1]*k (LMWray3's
     low-storage accumulator update, fused instead of a separate 3-read
-    axpy pass; its coefficient rides at the END of the SMEM array)."""
-    streams = args[: m + 1]       # ustart, k_1..k_m
-    vinvy_hbm = args[m + 1]
-    vinvzT_hbm = args[m + 2]
-    outs = list(args[m + 3 : m + 3 + emit_k + 2 + with_usnew])
-    rest = args[m + 3 + emit_k + 2 + with_usnew :]
+    axpy pass; its coefficient rides at the END of the SMEM array).
+    ``with_bf``: a steady body-force field rides as one more DMA stream
+    (slot m+1 of the stream scratch, coefficient 1, part of k)."""
+    nst = m + 1 + with_bf
+    streams = args[:nst]          # ustart, k_1..k_m [, bodyforce]
+    vinvy_hbm = args[nst]
+    vinvzT_hbm = args[nst + 1]
+    outs = list(args[nst + 2 : nst + 2 + emit_k + 2 + with_usnew])
+    rest = args[nst + 2 + emit_k + 2 + with_usnew :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
@@ -698,19 +702,24 @@ def _msd_hat_kernel(
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
+        bf=(lambda a: sb[slot, m + 1, a]) if with_bf else None,
     )
 
 
 def _stage_tail(
     at, coeffs_smem, sb, slot, k_out, ut_out, divhat_out, usnew_out,
     vinvy_hbm, vinvzT_hbm,
-    *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew,
+    *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew, bf=None,
 ):
     """Shared stage tail: conv-diff on the window, optional k / usnew
-    outputs, tableau accumulation, divergence, z/y forward transform."""
+    outputs, tableau accumulation, divergence, z/y forward transform.
+    ``bf``: optional per-component accessor for a steady body-force
+    window (added to the momentum eval, so part of k)."""
     d = None
     for a in range(3):
         f = _convdiff_window(at, visc, dx, a)
+        if bf is not None:
+            f = f + bf(a)
         if emit_k:
             k_out[a, :, :, :] = f[1:]
         if with_usnew:
@@ -740,7 +749,7 @@ def _stage_tail(
 def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
-    emit_k=True, usnew_coeff=None,
+    emit_k=True, usnew_coeff=None, bodyforce=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -766,9 +775,13 @@ def momentum_stage_divhat_3d(
     coeffs = tuple(coeffs)
     m = len(streams) - 1
     assert len(coeffs) == m + 1
+    with_bf = bodyforce is not None
+    nst = m + 1 + with_bf
+    if with_bf:
+        streams = streams + (bodyforce,)
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * (m + 1) * (b + 1) + 14 * b)
+        bx = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b)
     while n % bx != 0:
         bx //= 2
     with_usnew = usnew_coeff is not None
@@ -783,6 +796,7 @@ def momentum_stage_divhat_3d(
         m=m,
         emit_k=emit_k,
         with_usnew=with_usnew,
+        with_bf=with_bf,
     )
     all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
     coeff_arr = jnp.stack(
@@ -809,7 +823,7 @@ def momentum_stage_divhat_3d(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 2)
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nst + 1)
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -818,11 +832,11 @@ def momentum_stage_divhat_3d(
         out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
-            pltpu.VMEM((2, m + 1, 3, bx + 1, n, n), u_int.dtype),
-            pltpu.SemaphoreType.DMA((2, 4 + 2 * (m + 1))),
+            pltpu.VMEM((2, nst, 3, bx + 1, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 4 + 2 * nst)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(coeff_arr, u_int, *streams, vinvy, vinvzT)
@@ -1053,7 +1067,7 @@ def pcmsd_hat_3d(
             pltpu.SemaphoreType.DMA((2, 9 + 2 * (m + 1))),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -1167,7 +1181,7 @@ def pressure_correct_qhat_3d(
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(ut_int, qhat, vy, vzT)

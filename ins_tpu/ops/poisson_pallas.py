@@ -38,7 +38,7 @@ from .dft import fourier_eigenbasis
 
 __all__ = ["poisson_pallas_supported", "make_poisson_pallas"]
 
-_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
 def poisson_pallas_supported(Np):

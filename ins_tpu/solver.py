@@ -114,6 +114,7 @@ def solve_unsteady(
     max_chunk=256,
     mesh=None,
     nan_guard=True,
+    projection_precision="manualhigh",
 ):
     """Solve the unsteady problem on `tlims`.
 
@@ -125,6 +126,10 @@ def solve_unsteady(
     decomposition — the state is placed with spatial sharding and XLA
     GSPMD inserts the halo exchanges / FFT transposes over ICI (the
     reference is single-device; SURVEY.md §2.5).
+
+    `projection_precision`: eigen-transform precision on the Pallas
+    pressure-projection path — "manualhigh" (default, fastest, residual
+    ~4e-5) or "highest" (f32-exact); see docs/manual/precision.md.
 
     `nan_guard`: one cheap `isfinite` reduction per scan chunk (SURVEY
     §5.3). On divergence the run aborts with `SolverDivergedError`
@@ -161,7 +166,9 @@ def solve_unsteady(
 
         use_fast = fastpath_applicable(setup, method, psolver)
         if use_fast:
-            fast_step = make_fast_timestep(setup, method)
+            fast_step = make_fast_timestep(
+                setup, method, projection_precision=projection_precision
+            )
 
             def step(s, dtj, th):
                 return fast_step(s, dtj, th)

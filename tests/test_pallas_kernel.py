@@ -178,6 +178,34 @@ def test_momentum_stage_divhat_multistream():
     assert float(jnp.max(jnp.abs(usnew - (ustart + 0.5 * k_ref)))) < 1e-4
 
 
+def test_momentum_stage_divhat_bodyforce():
+    """A steady body force riding the kernel as an extra stream equals
+    adding it to k outside."""
+    from ins_tpu.ops.pallas_kernels import momentum_stage_divhat_3d
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    cn = 0.19
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    k, ut, dh = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True, bodyforce=bf,
+    )
+    k0, ut0, _ = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(k - (k0 + bf)))) < 1e-5
+    assert float(jnp.max(jnp.abs(ut - (ut0 + cn * bf)))) < 1e-4
+
+
 def test_pcmsd_matches_pc_then_msd():
     """Merged pc+msd kernel == pressure_correct_qhat followed by
     momentum_stage_divhat on the corrected velocity."""
