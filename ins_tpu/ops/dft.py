@@ -7,7 +7,11 @@ tests/test_dft.py):
    elements: a 3D 256^3 `rfftn`/`irfftn` roundtrip has **0.33** relative
    error (vs 2.8e-7 on CPU, and vs 3.5e-7 for the same TPU call at
    128^3). Single-axis transforms stay at f32 accuracy at every probed
-   size, so decomposing an N-D transform into 1-D passes is always safe.
+   size, so decomposing an N-D transform into 1-D passes is safe — BUT
+   XLA re-fuses adjacent 1-D FFT ops back into the broken multi-axis
+   kernel, so the per-axis decomposition must be separated by
+   `lax.optimization_barrier` (measured: chained per-axis at 256^3 =
+   0.35 rel roundtrip error; barriered = 3.7e-7).
 2. The fast-diagonalization Poisson solve in the analytic real Fourier
    basis — six `Precision.HIGHEST` MXU matmuls at 256^3 — is both ~2x
    *faster* than the fused-FFT solve (3.2 ms vs 6.5 ms) and accurate to
@@ -48,12 +52,20 @@ def backend_is_cpu():
 # --------------------------------------------------------------------------
 
 
+def _nofuse(x):
+    """Stop XLA from re-fusing adjacent 1-D FFTs into the (inaccurate at
+    >=2^24 elements) multi-axis TPU FFT kernel (module docs, fact 1)."""
+    return lax.optimization_barrier(x)
+
+
 def fftn(x, axes=None):
     if axes is None:
         axes = tuple(range(x.ndim))
     if backend_is_cpu():
         return jnp.fft.fftn(x, axes=axes)
-    for ax in axes:
+    for i, ax in enumerate(axes):
+        if i:
+            x = _nofuse(x)
         x = jnp.fft.fft(x, axis=ax)
     return x
 
@@ -63,7 +75,9 @@ def ifftn(x, axes=None):
         axes = tuple(range(x.ndim))
     if backend_is_cpu():
         return jnp.fft.ifftn(x, axes=axes)
-    for ax in axes:
+    for i, ax in enumerate(axes):
+        if i:
+            x = _nofuse(x)
         x = jnp.fft.ifft(x, axis=ax)
     return x
 
@@ -76,7 +90,7 @@ def rfftn(x, axes=None):
         return jnp.fft.rfftn(x, axes=axes)
     x = jnp.fft.rfft(x, axis=axes[-1])
     for ax in axes[:-1]:
-        x = jnp.fft.fft(x, axis=ax)
+        x = jnp.fft.fft(_nofuse(x), axis=ax)
     return x
 
 
@@ -88,6 +102,7 @@ def irfftn(x, s, axes=None):
         return jnp.fft.irfftn(x, s, axes=axes)
     for ax in axes[:-1]:
         x = jnp.fft.ifft(x, axis=ax)
+        x = _nofuse(x)
     return jnp.fft.irfft(x, s[-1], axis=axes[-1])
 
 

@@ -40,13 +40,16 @@ __all__ = [
 ]
 
 
-def _pick_bx(n, planes_of_bx, budget_bytes=96 * 1024 * 1024):
+def _pick_bx(nx, planes_of_bx, plane_elems=None, budget_bytes=96 * 1024 * 1024):
     """Deepest slab depth whose VMEM footprint (`planes_of_bx(bx)` planes
-    of n*n f32) fits the budget.  Probed at 256^3 (benchmarks/bx_probe.py):
-    stage cost falls monotonically with bx (ghost re-reads amortize as
-    (bx+3)/bx), so take the largest that fits."""
+    of `plane_elems` f32, default nx*nx for cubes) fits the budget.
+    Probed at 256^3 (benchmarks/bx_probe.py): stage cost falls
+    monotonically with bx (ghost re-reads amortize as (bx+3)/bx), so take
+    the largest that fits."""
+    if plane_elems is None:
+        plane_elems = nx * nx
     for bx in (8, 4, 2, 1):
-        if n % bx == 0 and planes_of_bx(bx) * n * n * 4 <= budget_bytes:
+        if nx % bx == 0 and planes_of_bx(bx) * plane_elems * 4 <= budget_bytes:
             return bx
     return 1
 
@@ -239,33 +242,34 @@ def _convdiff3d_kernel(u_hbm, f_out, scratch, sems, *, visc, dx, bx, n):
 
 def convdiff_interior_3d(u_int, visc, dx, *, bx=None, interpret=False):
     """Fused convection+diffusion on the ghost-free interior field
-    (3, n, n, n) — the fast-path layout. Pads x by periodic wrap, runs the
-    slab kernel, returns interior-shaped F."""
-    D, n, ny, nz = u_int.shape
-    assert D == 3 and n == ny == nz
+    (3, nx, ny, nz) — the fast-path layout (any box; x wraps
+    periodically, so halo-padded shard blocks just discard the two edge
+    output planes).  Returns interior-shaped F."""
+    D, nx, ny, nz = u_int.shape
+    assert D == 3
     if bx is None:
-        # VMEM heuristic: double-buffered scratch 2*3*(bx+2)*n^2*4B plus
-        # the pipelined output block and temporaries
-        bx = _pick_bx(n, lambda b: 12 * b + 12)
-    while n % bx != 0:
+        # VMEM heuristic: double-buffered scratch 2*3*(bx+2)*ny*nz*4B
+        # plus the pipelined output block and temporaries
+        bx = _pick_bx(nx, lambda b: 12 * b + 12, ny * nz)
+    while nx % bx != 0:
         bx //= 2
     kernel = functools.partial(
         _convdiff3d_kernel,
         visc=float(visc),
         dx=tuple(map(float, dx)),
         bx=bx,
-        n=n,
+        n=nx,
     )
     return pl.pallas_call(
         kernel,
-        grid=(n // bx,),
+        grid=(nx // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype),
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), u_int.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 2, n, n), u_int.dtype),
+            pltpu.VMEM((2, 3, bx + 2, ny, nz), u_int.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
@@ -280,7 +284,7 @@ def convdiff_periodic_uniform_3d(u, visc, dx, *, bx=8, interpret=False):
     (zeros on ghost entries, like the slice-graph version).
     """
     D, nxg, nyg, nzg = u.shape
-    assert D == 3 and nxg == nyg == nzg
+    assert D == 3
     n = nxg - 2
     while n % bx != 0:
         bx //= 2
@@ -372,21 +376,23 @@ def _stage_div_kernel(
 def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
     """Fused RK stage update + divergence on interior-layout fields:
     `ut = base + coeff * k`, `divvol = vol * div(ut)` (one HBM pass).
-    `coeff` is a traced scalar (e.g. dt * A[i][i])."""
-    D, n, ny, nz = base_int.shape
-    assert D == 3 and n == ny == nz
+    `coeff` is a traced scalar (e.g. dt * A[i][i]).  Any (nx, ny, nz)
+    box; x wraps periodically (halo-padded shard blocks discard the two
+    edge output planes)."""
+    D, nx, ny, nz = base_int.shape
+    assert D == 3
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = _pick_bx(n, lambda b: 20 * b + 12)
-    while n % bx != 0:
+        bx = _pick_bx(nx, lambda b: 20 * b + 12, ny * nz)
+    while nx % bx != 0:
         bx //= 2
     kernel = functools.partial(
-        _stage_div_kernel, dx=tuple(map(float, dxs)), vol=vol, bx=bx, n=n
+        _stage_div_kernel, dx=tuple(map(float, dxs)), vol=vol, bx=bx, n=nx
     )
     coeff_arr = jnp.reshape(coeff, (1,)).astype(base_int.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(n // bx,),
+        grid=(nx // bx,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -394,17 +400,19 @@ def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
         ],
         out_specs=(
             pl.BlockSpec(
-                (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+                (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, n, n, n), base_int.dtype),
-            jax.ShapeDtypeStruct((n, n, n), base_int.dtype),
+            jax.ShapeDtypeStruct((3, nx, ny, nz), base_int.dtype),
+            jax.ShapeDtypeStruct((nx, ny, nz), base_int.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 1, n, n), base_int.dtype),
-            pltpu.VMEM((2, 3, bx + 1, n, n), base_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, ny, nz), base_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, ny, nz), base_int.dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         interpret=interpret,
@@ -1234,37 +1242,39 @@ def _pressure_correct_kernel(ut_hbm, q_hbm, u_out, su, sq, sems, *, dx, bx, n):
         if a == 0:
             g = (qw[1:] - qw[:-1]) / dx[0]
         else:
-            g = (pltpu.roll(qc, n - 1, a) - qc) / dx[a]
+            g = (pltpu.roll(qc, qc.shape[a] - 1, a) - qc) / dx[a]
         u_out[a, :, :, :] = su[slot, a] - g
 
 
 def pressure_correct_3d(ut_int, q_int, dxs, *, bx=None, interpret=False):
     """Apply the pressure correction `u = ut - grad(q)` on interior-layout
     fields in one HBM pass (reference applypressure!,
-    src/operators.jl:214-288, uniform periodic case)."""
-    D, n, ny, nz = ut_int.shape
-    assert D == 3 and n == ny == nz
+    src/operators.jl:214-288, uniform periodic case).  Any (nx, ny, nz)
+    box; x wraps periodically (halo-padded shard blocks discard the two
+    edge output planes)."""
+    D, nx, ny, nz = ut_int.shape
+    assert D == 3
     if bx is None:
-        bx = _pick_bx(n, lambda b: 14 * b + 2)
-    while n % bx != 0:
+        bx = _pick_bx(nx, lambda b: 14 * b + 2, ny * nz)
+    while nx % bx != 0:
         bx //= 2
     kernel = functools.partial(
-        _pressure_correct_kernel, dx=tuple(map(float, dxs)), bx=bx, n=n
+        _pressure_correct_kernel, dx=tuple(map(float, dxs)), bx=bx, n=nx
     )
     return pl.pallas_call(
         kernel,
-        grid=(n // bx,),
+        grid=(nx // bx,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, n, n, n), ut_int.dtype),
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), ut_int.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
-            pltpu.VMEM((2, bx + 1, n, n), ut_int.dtype),
+            pltpu.VMEM((2, 3, bx, ny, nz), ut_int.dtype),
+            pltpu.VMEM((2, bx + 1, ny, nz), ut_int.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,

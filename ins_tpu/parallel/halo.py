@@ -143,7 +143,32 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
 
     e = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
 
+    # Per-shard Pallas kernels (x-slab meshes): the periodic slab kernels
+    # run directly on halo-padded local blocks — their modular-x wrap is
+    # only wrong on the two edge planes, which are discarded.  The y/z
+    # extents are unsharded (locally periodic), so the in-VMEM rolls are
+    # exact.  Carries the single-chip fused kernels to pod shards.
+    from ..ops.pallas_kernels import (
+        convdiff_interior_3d,
+        pressure_correct_3d,
+        stage_div_3d,
+    )
+
+    use_pallas_local = (
+        not has_y
+        and jax.default_backend() == "tpu"
+        and nz % 128 == 0
+        and ny % 8 == 0
+    )
+    if use_pallas_local:
+        visc_static = float(1.0 / np.asarray(setup.Re))
+
+    def _pad_x(v):
+        return _halo_pad(v, v.ndim - 3, AXIS, mx)
+
     def convdiff_local(u):
+        if use_pallas_local:
+            return convdiff_interior_3d(_pad_x(u), visc_static, dxs)[:, 1:-1]
         visc = 1 / setup.Re
         up = [pad_all(u[a], (0, 1)) for a in range(3)]
         F = []
@@ -222,10 +247,12 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
 
         def poisson_local(div):
             """x-slab pencil rFFT: rfft z + fft y locally, all_to_all to
-            localize x, fft x, scale, inverse chain."""
+            localize x, fft x, scale, inverse chain.  Adjacent local 1-D
+            FFTs are barriered so XLA can't re-fuse them into the
+            multi-axis TPU kernel (inaccurate >= 2^24 elems; ops/dft.py)."""
             idx = jax.lax.axis_index(AXIS)
             fh = jnp.fft.rfft(div, axis=2)
-            fh = jnp.fft.fft(fh, axis=1)
+            fh = jnp.fft.fft(jax.lax.optimization_barrier(fh), axis=1)
             fh = jax.lax.all_to_all(
                 fh, AXIS, split_axis=1, concat_axis=0, tiled=True
             )
@@ -239,6 +266,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                 fh, AXIS, split_axis=0, concat_axis=1, tiled=True
             )
             fh = jnp.fft.ifft(fh, axis=1)
+            fh = jax.lax.optimization_barrier(fh)
             return jnp.fft.irfft(fh, nz, axis=2).astype(div.dtype)
 
     elif psolver == "pencil":
@@ -368,14 +396,29 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             ku.append(momentum_local(u, temp))
             if temp is not None:
                 kt.append(temp_rhs_local(u, temp))
-            u = ustart
+            if use_pallas_local:
+                # fused stage + divergence and fused correction kernels
+                # on halo-padded blocks (edge planes discarded); the halo
+                # planes of ut/q are the neighbours' values, so the
+                # kernels' ghost reads are exact.
+                base = ustart
+                for j in range(i):
+                    if A[i][j] != 0.0:
+                        base = base + dt * A[i][j] * ku[j]
+                ut_p, div_p = stage_div_3d(
+                    _pad_x(base), _pad_x(ku[i]), dt * A[i][i], dxs
+                )
+                p = poisson_local(div_p[1:-1])
+                u = pressure_correct_3d(ut_p, _pad_x(p), dxs)[:, 1:-1]
+            else:
+                u = ustart
+                for j in range(i + 1):
+                    u = u + dt * A[i][j] * ku[j]
+                u = project_local(u)
             if temp is not None:
                 temp = tstart_
-            for j in range(i + 1):
-                u = u + dt * A[i][j] * ku[j]
-                if temp is not None:
+                for j in range(i + 1):
                     temp = temp + dt * A[i][j] * kt[j]
-            u = project_local(u)
         return u, temp
 
     uspec = _specs(mesh, 4)
@@ -399,8 +442,10 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         out_specs = uspec
 
     step_sharded = jax.jit(
+        # check_vma=False: pallas_call outputs don't carry varying-mesh
+        # annotations (required for the per-shard slab kernels)
         jax.shard_map(_stepl, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs),
+                      out_specs=out_specs, check_vma=False),
         donate_argnums=((0, 1) if tq is not None else (0,)) if donate else (),
     )
 

@@ -206,6 +206,50 @@ def test_momentum_stage_divhat_bodyforce():
     assert float(jnp.max(jnp.abs(ut - (ut0 + cn * bf)))) < 1e-4
 
 
+def test_kernels_on_halo_padded_slabs():
+    """The periodic slab kernels applied to a halo-padded x-slab (non-cube
+    box) reproduce the periodic full-box result on the interior planes —
+    the basis of the multichip halo path's per-shard kernel use (the
+    modular-x wrap is only wrong on the discarded edge planes)."""
+    from ins_tpu.ops.pallas_kernels import (
+        convdiff_interior_3d,
+        pressure_correct_3d,
+        stage_div_3d,
+    )
+
+    n, l, i0 = 16, 4, 6
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    pad_idx = np.arange(i0 - 1, i0 + l + 1) % n
+
+    F_ref = convdiff_interior_3d(u, visc, dx, interpret=True)
+    F_loc = convdiff_interior_3d(
+        u[:, pad_idx], visc, dx, interpret=True
+    )[:, 1:-1]
+    assert float(jnp.max(jnp.abs(F_loc - F_ref[:, i0 : i0 + l]))) < 1e-5
+
+    ut_ref, dv_ref = stage_div_3d(u, k, 0.3, dx, interpret=True)
+    ut_loc, dv_loc = stage_div_3d(
+        u[:, pad_idx], k[:, pad_idx], 0.3, dx, interpret=True
+    )
+    assert float(
+        jnp.max(jnp.abs(ut_loc[:, 1:-1] - ut_ref[:, i0 : i0 + l]))
+    ) < 1e-5
+    assert float(
+        jnp.max(jnp.abs(dv_loc[1:-1] - dv_ref[i0 : i0 + l]))
+    ) < 1e-4
+
+    un_ref = pressure_correct_3d(u, q, dx, interpret=True)
+    un_loc = pressure_correct_3d(
+        u[:, pad_idx], q[pad_idx], dx, interpret=True
+    )[:, 1:-1]
+    assert float(jnp.max(jnp.abs(un_loc - un_ref[:, i0 : i0 + l]))) < 1e-5
+
+
 def test_pcmsd_matches_pc_then_msd():
     """Merged pc+msd kernel == pressure_correct_qhat followed by
     momentum_stage_divhat on the corrected velocity."""
