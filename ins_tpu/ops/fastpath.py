@@ -78,7 +78,6 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     Np = g.Np
     dxs = tuple(float(np.asarray(g.delta[d])[0]) for d in range(D))
     vol = float(np.prod(dxs))
-    visc_inv_re = None  # computed from traced setup.Re at call time
 
     # Poisson solve: on accelerators, fast diagonalization in the real
     # Fourier basis as MXU matmuls — ~2x faster than XLA's fused TPU FFT
@@ -134,7 +133,6 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     # the roll graph remains the fallback (CPU, 2D, unaligned n).
     from .pallas_kernels import (
         convdiff_interior_3d,
-        momentum_stage_div_3d,
         momentum_stage_divhat_3d,
         pallas_supported,
         pressure_correct_3d,
@@ -145,21 +143,16 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     use_pallas = pallas_supported(setup)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
-    # Fully-fused stage: momentum + tableau axpy + divergence in ONE HBM
-    # pass (the stage's k never round-trips between the convdiff eval and
-    # the stage update). Requires the plain convdiff momentum (no
-    # bodyforce / closure terms, which are added outside the kernel).
-    _fusable_cube = (
-        len(Np) == 3 and Np[0] == Np[1] == Np[2] and Np[0] % 128 == 0
-    )
-    # A STEADY body force rides the fused kernel as one extra DMA stream
+    # Fully-fused stage: momentum + tableau accumulation + divergence +
+    # the Poisson z/y transforms in ONE HBM pass per stage kernel.  A
+    # STEADY body force rides the kernel as one extra DMA stream
     # (with_bf); unsteady (time-dependent callable) forces and closures
     # stay on the momentum() path.
     _no_bf = setup.bodyforce is None and setup.bodyforce_field is None
     use_fused_stage = (
         use_pallas
         and setup.closure_model is None
-        and (_no_bf or (bodyforce_int is not None and _fusable_cube))
+        and (_no_bf or bodyforce_int is not None)
     )
 
     def convdiff(u):
@@ -230,11 +223,11 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     # Fully-fused projection: the stage kernel emits divhat (z/y-forward
     # transform fused in) and the correction kernel consumes qhat
     # (z/y-inverse fused in), so the Poisson solve is ONE standalone HBM
-    # pass (pass B).  Gate is broader than the standalone Pallas solve's
-    # (which needs n>=256 to win): with the transforms riding the stage
-    # kernels' DMA, the fused form wins at 128^3 too (2.81 vs 2.83/2.96
-    # ms/step measured).
-    use_fused_proj = use_fused_stage and _fusable_cube
+    # pass (pass B).  `pallas_supported` already requires the
+    # lane-aligned cube these kernels need, so the fused projection and
+    # the fused stage share one gate (applies at 128^3 too: 2.81 vs
+    # 2.83/2.96 ms/step measured).
+    use_fused_proj = use_fused_stage
     if use_fused_proj:
         from .poisson_pallas import make_fused_projection
 
@@ -250,32 +243,20 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         never materializes in HBM).  ``emit_k=False`` skips the k write
         (final stages); ``usnew_coeff`` fuses LMWray3's accumulator
         update ``ustart + c*k`` as an extra kernel output."""
-        if use_fused_proj:
-            res = momentum_stage_divhat_3d(
-                u, streams, coeffs, visc_static, dxs,
-                proj["Vinv"], proj["VinvT"],
-                emit_k=emit_k, usnew_coeff=usnew_coeff,
-                bodyforce=bodyforce_int,
-            )
-            res = list(res)
-            k = res.pop(0) if emit_k else None
-            ut, divhat = res.pop(0), res.pop(0)
-            usnew = res.pop(0) if usnew_coeff is not None else None
-            qhat = proj["passB"](divhat)
-            return k, pressure_correct_qhat_3d(
-                ut, qhat, dxs, proj["V"], proj["VT"]
-            ), usnew
-        assert bodyforce_int is None  # gate guarantees it off this branch
-        base = streams[0]
-        for c, s in zip(coeffs[:-1], streams[1:]):
-            base = base + c * s
-        k, ut, div = momentum_stage_div_3d(
-            u, base, coeffs[-1], visc_static, dxs
+        res = momentum_stage_divhat_3d(
+            u, streams, coeffs, visc_static, dxs,
+            proj["Vinv"], proj["VinvT"],
+            emit_k=emit_k, usnew_coeff=usnew_coeff,
+            bodyforce=bodyforce_int,
         )
-        usnew = (
-            streams[0] + usnew_coeff * k if usnew_coeff is not None else None
-        )
-        return k, pressure_correct_3d(ut, solve_p(div), dxs), usnew
+        res = list(res)
+        k = res.pop(0) if emit_k else None
+        ut, divhat = res.pop(0), res.pop(0)
+        usnew = res.pop(0) if usnew_coeff is not None else None
+        qhat = proj["passB"](divhat)
+        return k, pressure_correct_qhat_3d(
+            ut, qhat, dxs, proj["V"], proj["VT"]
+        ), usnew
 
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
