@@ -12,6 +12,7 @@ the same 4-stage RK + FFT-projection step).
 """
 
 import json
+import os
 import time
 from functools import partial
 
@@ -77,6 +78,8 @@ def run_case(N, nwarm, nstep, method=None):
 
 
 def main():
+    t_start = time.perf_counter()
+    # Headline configs first so the JSON line is always backed by them.
     cups128, ms128 = run_case(128, 5, 20)
     cups256, ms256 = run_case(256, 5, 20)
     extra = {
@@ -85,26 +88,30 @@ def main():
         "ms_per_step_128": ms128,
         "vs_baseline_128": cups128 / BASELINE_CUPS,
     }
-    # Secondary configs: LMWray3 (3 stages/step, low-storage) at 256^3
-    # and the 512^3 single-chip RK44 run (1.6 GB velocity field).
-    try:
-        cups_w3, ms_w3 = run_case(256, 3, 20, method=ins.LMWray3())
-        extra["cups_256_lmwray3"] = cups_w3
-        extra["ms_per_step_256_lmwray3"] = ms_w3
-    except Exception as e:  # never fail the headline metric
-        extra["lmwray3_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        cups512, ms512 = run_case(512, 2, 5)
-        extra["cups_512"] = cups512
-        extra["ms_per_step_512"] = ms512
-    except Exception as e:
-        extra["512_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        cups512w, ms512w = run_case(512, 2, 5, method=ins.LMWray3())
-        extra["cups_512_lmwray3"] = cups512w
-        extra["ms_per_step_512_lmwray3"] = ms512w
-    except Exception as e:
-        extra["512_lmwray3_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Secondary configs (LMWray3 low-storage; 512^3 single chip), each
+    # guarded by a wall-clock budget so a fresh-compile run under an
+    # external time limit still emits the headline metric.
+    budget_s = float(os.environ.get("INS_BENCH_BUDGET_S", 1500))
+
+    def extras_left():
+        return time.perf_counter() - t_start < budget_s
+
+    secondary = [
+        ("256_lmwray3", lambda: run_case(256, 3, 20, method=ins.LMWray3())),
+        ("512", lambda: run_case(512, 2, 5)),
+        ("512_lmwray3", lambda: run_case(512, 2, 5, method=ins.LMWray3())),
+    ]
+    for name, fn in secondary:
+        if not extras_left():
+            extra[f"{name}_skipped"] = "bench time budget exhausted"
+            continue
+        try:
+            cups, ms = fn()
+            extra[f"cups_{name}"] = cups
+            extra[f"ms_per_step_{name}"] = ms
+        except Exception as e:  # never fail the headline metric
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {

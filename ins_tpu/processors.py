@@ -131,9 +131,11 @@ def get_streamfunction(u, setup):
     k2[0, 0] = 1.0
     inv_k2 = 1.0 / k2
     inv_k2[0, 0] = 0.0  # zero-mean mode folded in (no runtime scatter)
-    what = jnp.fft.rfftn(wi)
+    from .ops.dft import irfftn, rfftn  # TPU-safe per-axis decomposition
+
+    what = rfftn(wi)
     psihat = what * jnp.asarray(inv_k2, what.dtype)
-    psi = jnp.fft.irfftn(psihat, wi.shape).astype(u.dtype)
+    psi = irfftn(psihat, wi.shape).astype(u.dtype)
     out = jnp.zeros(g.N, u.dtype)
     return out.at[ip].set(psi)
 

@@ -32,6 +32,7 @@ CASES = [
     "turbulent_channel_3d",
     "les_smagorinsky_2d",
     "neural_closure_training",
+    "production_turbulence_3d",
 ]
 
 
