@@ -26,12 +26,22 @@ from ins_tpu.time_steppers.step import create_stepper
 BASELINE_CUPS = 1.0e8  # assumed A100-parity anchor (cell-updates/s/chip)
 
 
-def run_case(N, nwarm, nstep, method=None):
+def run_case(N, nwarm, nstep, method=None, les=False):
     dtype = jnp.float32
     lims = (0.0, 2 * np.pi)
     x = tuple(np.linspace(*lims, N + 1) for _ in range(3))
     bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
-    setup = ins.Setup(x=x, boundary_conditions=bc, Re=4000.0, dtype=dtype)
+    kw = {}
+    theta = None
+    if les:
+        # north-star LES config (BASELINE.json configs[3]): Smagorinsky
+        # through the fused stage kernels + one fused closure pass/stage
+        base = ins.Setup(x=x, boundary_conditions=bc, Re=4000.0, dtype=dtype)
+        kw["closure_model"] = ins.smagorinsky_closure_natural(base)
+        theta = jnp.asarray(0.17, dtype)
+    setup = ins.Setup(
+        x=x, boundary_conditions=bc, Re=4000.0, dtype=dtype, **kw
+    )
     psolver = ins.psolver_spectral(setup)
     u0 = jax.jit(lambda key: ins.random_field(setup, kp=10, rng=key))(
         jax.random.PRNGKey(1)
@@ -55,7 +65,7 @@ def run_case(N, nwarm, nstep, method=None):
     @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
     def scan_steps(state, nsteps):
         def body(s, _):
-            return fast_step(s, dt, None), None
+            return fast_step(s, dt, theta), None
 
         state, _ = jax.lax.scan(body, state, None, length=nsteps)
         return state
@@ -98,6 +108,7 @@ def main():
         return time.perf_counter() - t_start < budget_s
 
     secondary = [
+        ("256_les", lambda: run_case(256, 3, 20, les=True)),
         ("256_lmwray3", lambda: run_case(256, 3, 20, method=ins.LMWray3())),
         ("512", lambda: run_case(512, 2, 5)),
         ("512_lmwray3", lambda: run_case(512, 2, 5, method=ins.LMWray3())),

@@ -59,8 +59,13 @@ def run(quick=False, outdir=None, n=None):
         processors=procs,
     )
     E = out["energy"]
-    assert all(np.isfinite(e) for _, e in E)
-    return state, out
+    energies = [e for _, e in E]
+    return {
+        "state": state,
+        "outputs": out,
+        "finite": all(np.isfinite(e) for e in energies),
+        "decaying": energies[-1] <= energies[0],
+    }
 
 
 if __name__ == "__main__":

@@ -7,8 +7,9 @@ from .eddyviscosity import (  # noqa: F401
     divoftensor_natural,
     smagorinsky_closure,
     smagorinsky_closure_natural,
+    smagorinsky_natural_interior,
     smagorinsky_viscosity,
     strain_natural,
 )
-from .tensorbasis import lastdimcontract, tensorbasis  # noqa: F401
+from .tensorbasis import lastdimcontract, monitor, tensorbasis  # noqa: F401
 from .fdm import psolver_fdm  # noqa: F401

@@ -14,6 +14,7 @@ Two forms, as in the reference:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..boundary_conditions import apply_bc_p
 from ._stencil import seg, slc, take, take2
@@ -25,9 +26,32 @@ __all__ = [
     "apply_eddy_viscosity",
     "divoftensor_natural",
     "smagorinsky_closure_natural",
+    "smagorinsky_natural_interior",
     "smagorinsky_closure",
     "divoftensor",
 ]
+
+
+def _wrap_ghosts(f, setup):
+    """Fill the ghost planes of every *periodic* dimension of a
+    full-N scalar field by wrapping (gather-style, GSPMD-safe).
+
+    The reference never fills strain/viscosity/stress ghosts
+    (src/eddyviscosity.jl kernels write Ip only), so its shifted reads at
+    periodic domain edges see stale zeros; on a torus the consistent
+    staggered form wraps, which also makes the ghosted closure agree
+    exactly with the ghost-free fast-path formulation.  Non-periodic
+    dimensions keep the reference's zero-ghost semantics."""
+    g = setup.grid
+    for d in range(g.dim):
+        if not g.periodic[d]:
+            continue
+        n = g.N[d]
+        idx = np.arange(n)
+        idx[0] = n - 2
+        idx[-1] = 1
+        f = jnp.take(f, jnp.asarray(idx), axis=f.ndim - g.dim + d)
+    return f
 
 # Natural strain component order: 2D (xx, yy, xy); 3D (xx, yy, zz, xy, xz, yz)
 _PAIRS = {2: [(0, 0), (1, 1), (0, 1)], 3: [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]}
@@ -145,15 +169,72 @@ def divoftensor_natural(sigma, setup):
 
 def smagorinsky_closure_natural(setup):
     """Build the natural-form Smagorinsky closure `m(u, θ)`
-    (src/eddyviscosity.jl:158-183)."""
+    (src/eddyviscosity.jl:158-183).  Ghosts of the intermediate
+    strain/viscosity/stress fields are wrapped on periodic dimensions
+    (see `_wrap_ghosts`); the returned closure is tagged with
+    ``kind = "smagorinsky_natural"`` so the uniform-periodic fast path
+    can swap in its fused Pallas twin."""
 
     def closure(u, theta):
         S = strain_natural(u, setup)
-        visc = smagorinsky_viscosity(S, theta, setup)
+        S = {k: _wrap_ghosts(v, setup) for k, v in S.items()}
+        visc = _wrap_ghosts(smagorinsky_viscosity(S, theta, setup), setup)
         sigma = apply_eddy_viscosity(S, visc, setup)
+        sigma = {k: _wrap_ghosts(v, setup) for k, v in sigma.items()}
         return divoftensor_natural(sigma, setup)
 
+    closure.kind = "smagorinsky_natural"
     return closure
+
+
+def smagorinsky_natural_interior(u, theta, dxs):
+    """Natural-form Smagorinsky on ghost-free *uniform periodic* interior
+    fields (the fast-path layout; any D): same math as
+    `smagorinsky_closure_natural` with every stencil shift a circular
+    roll.  Twin of the fused Pallas kernel `smagorinsky_force_3d` and the
+    oracle for its tests."""
+    D = u.shape[0]
+
+    def rp(v, d):
+        return jnp.roll(v, -1, axis=d)
+
+    def rm(v, d):
+        return jnp.roll(v, 1, axis=d)
+
+    S = {}
+    for a in range(D):
+        S[(a, a)] = (u[a] - rm(u[a], a)) / dxs[a]
+        for b in range(a + 1, D):
+            S[(a, b)] = 0.5 * (
+                (rp(u[a], b) - u[a]) / dxs[b] + (rp(u[b], a) - u[b]) / dxs[a]
+            )
+    d2 = sum(dx * dx for dx in dxs)
+    acc = 0.0
+    for a in range(D):
+        acc = acc + 2.0 * S[(a, a)] ** 2
+        for b in range(a + 1, D):
+            s = S[(a, b)]
+            acc = acc + (
+                s**2 + rm(s, a) ** 2 + rm(s, b) ** 2 + rm(rm(s, a), b) ** 2
+            )
+    nu = theta**2 * d2 * jnp.sqrt(acc)
+    sig = {}
+    for a in range(D):
+        sig[(a, a)] = 2.0 * nu * S[(a, a)]
+        for b in range(a + 1, D):
+            nue = (nu + rp(nu, a) + rp(nu, b) + rp(rp(nu, a), b)) / 4
+            sig[(a, b)] = 2.0 * nue * S[(a, b)]
+    out = []
+    for a in range(D):
+        c = 0.0
+        for b in range(D):
+            s = sig[(min(a, b), max(a, b))]
+            if a == b:
+                c = c + (rp(s, a) - s) / dxs[a]
+            else:
+                c = c + (s - rm(s, b)) / dxs[b]
+        out.append(c)
+    return jnp.stack(out)
 
 
 # --------------------------------------------------------------------------

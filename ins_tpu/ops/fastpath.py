@@ -137,21 +137,29 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         pallas_supported,
         pressure_correct_3d,
         pressure_correct_qhat_3d,
+        smagorinsky_force_3d,
         stage_div_3d,
     )
 
     use_pallas = pallas_supported(setup)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
+    # A natural-form Smagorinsky closure (tagged by
+    # `smagorinsky_closure_natural`) runs on the fast path as its
+    # ghost-free twin: the fused Pallas force kernel on the Pallas path,
+    # the roll-graph `smagorinsky_natural_interior` otherwise.  Untagged
+    # closures stay on the ghosted round trip.
+    _smag = getattr(setup.closure_model, "kind", None) == "smagorinsky_natural"
     # Fully-fused stage: momentum + tableau accumulation + divergence +
     # the Poisson z/y transforms in ONE HBM pass per stage kernel.  A
     # STEADY body force rides the kernel as one extra DMA stream
-    # (with_bf); unsteady (time-dependent callable) forces and closures
-    # stay on the momentum() path.
+    # (with_bf); a Smagorinsky LES force is ONE extra fused kernel pass
+    # per stage feeding the same stream.  Unsteady (time-dependent
+    # callable) forces and untagged closures stay on the momentum() path.
     _no_bf = setup.bodyforce is None and setup.bodyforce_field is None
     use_fused_stage = (
         use_pallas
-        and setup.closure_model is None
+        and (setup.closure_model is None or _smag)
         and (_no_bf or bodyforce_int is not None)
     )
 
@@ -194,8 +202,12 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
                     setup.bodyforce(a, *coords, t) * jnp.ones(g.N, setup.dtype)
                 )
             F = F + strip_ghosts(jnp.stack(comps))
-        if setup.closure_model is not None:
-            # Closure models take the ghosted solver layout
+        if _smag:
+            from ..ops.eddyviscosity import smagorinsky_natural_interior
+
+            F = F + smagorinsky_natural_interior(u, theta, dxs)
+        elif setup.closure_model is not None:
+            # Untagged closure models take the ghosted solver layout
             F = F + strip_ghosts(setup.closure_model(reghost(u), theta))
         return F
 
@@ -235,19 +247,31 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
             Np, dxs, setup.dtype, precision=projection_precision
         )
 
-    def fused_stage(u, streams, coeffs, *, emit_k=True, usnew_coeff=None):
+    def stage_force(u, theta):
+        """Per-stage extra force stream for the fused stage kernel:
+        the fused Smagorinsky kernel (with the steady body force folded
+        into its output) or the static body-force field."""
+        if _smag:
+            return smagorinsky_force_3d(
+                u, theta, dxs, bodyforce=bodyforce_int
+            )
+        return bodyforce_int
+
+    def fused_stage(u, streams, coeffs, *, force, emit_k=True,
+                    usnew_coeff=None):
         """momentum + tableau accumulation + divergence in one kernel
         pass, then the projection: returns (k|None, u_next, usnew|None).
         ``streams`` is (ustart, k_j...) with ``coeffs`` their tableau
         coefficients plus the new k's coefficient last (the base axpy
-        never materializes in HBM).  ``emit_k=False`` skips the k write
-        (final stages); ``usnew_coeff`` fuses LMWray3's accumulator
-        update ``ustart + c*k`` as an extra kernel output."""
+        never materializes in HBM).  ``force`` is the stage's extra
+        force stream (see `stage_force`).  ``emit_k=False`` skips the k
+        write (final stages); ``usnew_coeff`` fuses LMWray3's
+        accumulator update ``ustart + c*k`` as an extra kernel output."""
         res = momentum_stage_divhat_3d(
             u, streams, coeffs, visc_static, dxs,
             proj["Vinv"], proj["VinvT"],
             emit_k=emit_k, usnew_coeff=usnew_coeff,
-            bodyforce=bodyforce_int,
+            bodyforce=force,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -284,7 +308,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
                             coeffs.append(dt * A[i][j])
                     coeffs.append(dt * A[i][i])
                     k, u, _ = fused_stage(
-                        u, streams, coeffs, emit_k=(i < ns - 1)
+                        u, streams, coeffs, force=stage_force(u, theta),
+                        emit_k=(i < ns - 1),
                     )
                     if k is not None:
                         ku.append(k)
@@ -318,7 +343,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
                     # du itself is never needed: the accumulator update
                     # ustart += dt*b_i*du is a fused kernel output
                     _, u, usnew = fused_stage(
-                        u, (ustart,), (dt * a_[i],), emit_k=False,
+                        u, (ustart,), (dt * a_[i],),
+                        force=stage_force(u, theta), emit_k=False,
                         usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
                     )
                     if i < ns - 1:

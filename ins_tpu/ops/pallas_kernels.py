@@ -60,33 +60,41 @@ def _split_bf16(a):
     return hi, lo
 
 
-def _mm_h(a, bsplit, manualhigh):
-    """Plane matmul a @ b given b's precomputed bf16 (hi, lo) split.
+def _prep_mat(m_ref, manualhigh):
+    """Hoisted per-kernel transform-matrix prep: bf16 (hi, lo) split on
+    the manualhigh path, the raw f32 matrix otherwise (so "highest" is
+    genuinely f32-exact — rebuilding f32 from the split loses ~2^-18)."""
+    m = m_ref[...]
+    return _split_bf16(m) if manualhigh else m
+
+
+def _mm_h(a, b_p, manualhigh):
+    """Plane matmul a @ b with b prepared by `_prep_mat`.
     manualhigh: 3 bf16 MXU passes (~Precision.HIGH); else f32 HIGHEST."""
     if not manualhigh:
         return jnp.dot(
             a,
-            bsplit[0].astype(jnp.float32) + bsplit[1].astype(jnp.float32),
+            b_p,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
     ah, al = _split_bf16(a)
-    bh, bl = bsplit
+    bh, bl = b_p
     kw = dict(preferred_element_type=jnp.float32)
     return jnp.dot(ah, bh, **kw) + jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw)
 
 
-def _mm_h_left(asplit, b, manualhigh):
-    """Plane matmul a @ b given a's precomputed bf16 split."""
+def _mm_h_left(a_p, b, manualhigh):
+    """Plane matmul a @ b with a prepared by `_prep_mat`."""
     if not manualhigh:
         return jnp.dot(
-            asplit[0].astype(jnp.float32) + asplit[1].astype(jnp.float32),
+            a_p,
             b,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
     bh, bl = _split_bf16(b)
-    ah, al = asplit
+    ah, al = a_p
     kw = dict(preferred_element_type=jnp.float32)
     return jnp.dot(ah, bh, **kw) + jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw)
 
@@ -263,7 +271,7 @@ def convdiff_interior_3d(u_int, visc, dx, *, bx=None, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=(nx // bx,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -395,8 +403,8 @@ def stage_div_3d(base_int, k_int, coeff, dxs, *, bx=None, interpret=False):
         grid=(nx // bx,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -578,8 +586,8 @@ def momentum_stage_div_3d(
         grid=(n // bx,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -747,8 +755,8 @@ def _stage_tail(
             d += (ut_c - _rm(ut_c, a)) / dx[a]
     d = d * vol
     # z/y forward transform, per plane (Poisson pass A fused in)
-    vinvy_s = _split_bf16(vinvy_hbm[...])
-    vinvzT_s = _split_bf16(vinvzT_hbm[...])
+    vinvy_s = _prep_mat(vinvy_hbm, manualhigh)
+    vinvzT_s = _prep_mat(vinvzT_hbm, manualhigh)
     for p in range(bx):
         t = _mm_h(d[p], vinvzT_s, manualhigh)
         divhat_out[p, :, :] = _mm_h_left(vinvy_s, t, manualhigh)
@@ -831,7 +839,7 @@ def momentum_stage_divhat_3d(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (nst + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (nst + 1)
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -848,6 +856,214 @@ def momentum_stage_divhat_3d(
         ),
         interpret=interpret,
     )(coeff_arr, u_int, *streams, vinvy, vinvzT)
+
+
+def _smag_force_kernel(
+    theta_smem, u_hbm, *args, dx, d2, bx, n, with_bf,
+):
+    """Fused natural-form Smagorinsky force, one HBM pass:
+    strain -> eddy viscosity -> stress -> tensor divergence, all in VMEM
+    on a (bx+4)-plane x-window (radius 3 from u: +1 strain, +1 viscosity
+    average, +1 stress divergence).  Matches
+    `eddyviscosity.smagorinsky_natural_interior` (the roll-graph twin) on
+    uniform periodic interior fields; reference pipeline
+    src/eddyviscosity.jl:48-156 as separate sweeps.
+
+    ``with_bf``: a steady body-force field rides as one more DMA stream
+    and is added to the output, so LES + body force cost the stage kernel
+    only ONE extra stream."""
+    if with_bf:
+        bf_hbm = args[0]
+        args = args[1:]
+    out_ref, su, sbf, sems = args
+
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+    w = bx + 4
+
+    def copies(j, s):
+        start = j * bx
+        cps = [
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, bx)],
+                su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((start - 1 + n) % n, 1)],
+                su.at[s, :, pl.ds(1, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((start - 2 + n) % n, 1)],
+                su.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((start + bx) % n, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)],
+                sems.at[s, 3],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((start + bx + 1) % n, 1)],
+                su.at[s, :, pl.ds(bx + 3, 1)],
+                sems.at[s, 4],
+            ),
+        ]
+        if with_bf:
+            cps.append(
+                pltpu.make_async_copy(
+                    bf_hbm.at[:, pl.ds(start, bx)],
+                    sbf.at[s],
+                    sems.at[s, 5],
+                )
+            )
+        return cps
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in copies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in copies(i, slot):
+        cp.wait()
+
+    ux = su[slot, 0]  # (w, n, n), local l <-> global start - 2 + l
+    uy = su[slot, 1]
+    uz = su[slot, 2]
+    th = theta_smem[0]
+
+    # strain components (x-index conventions in the comments: [l] is the
+    # natural staggered position's x-plane)
+    sxx = (ux[1:] - ux[:-1]) / dx[0]  # [i] <-> S_xx[l=i+1]
+    syy = (uy - _rm(uy, 1)) / dx[1]  # [l]
+    szz = (uz - _rm(uz, 2)) / dx[2]  # [l]
+    sxy = 0.5 * (
+        (_rp(ux, 1) - ux)[: w - 1] / dx[1] + (uy[1:] - uy[:-1]) / dx[0]
+    )  # [i] <-> S_xy[l=i]
+    sxz = 0.5 * (
+        (_rp(ux, 2) - ux)[: w - 1] / dx[2] + (uz[1:] - uz[:-1]) / dx[0]
+    )  # [i] <-> S_xz[l=i]
+    syz = 0.5 * ((_rp(uy, 2) - uy) / dx[2] + (_rp(uz, 1) - uz) / dx[1])  # [l]
+
+    # eddy viscosity nu[j] <-> nu_t[l=j+1] (4-point average of the
+    # squared off-diagonal strains, reference smagorinsky_viscosity!)
+    sxy_my = _rm(sxy, 1)
+    sxz_mz = _rm(sxz, 2)
+    syz_c = syz[1 : w - 1]
+    acc = 2.0 * (sxx[: w - 2] ** 2 + syy[1 : w - 1] ** 2 + szz[1 : w - 1] ** 2)
+    acc += (
+        sxy[1 : w - 1] ** 2
+        + sxy[: w - 2] ** 2
+        + sxy_my[1 : w - 1] ** 2
+        + sxy_my[: w - 2] ** 2
+    )
+    acc += (
+        sxz[1 : w - 1] ** 2
+        + sxz[: w - 2] ** 2
+        + sxz_mz[1 : w - 1] ** 2
+        + sxz_mz[: w - 2] ** 2
+    )
+    acc += (
+        syz_c**2
+        + _rm(syz_c, 1) ** 2
+        + _rm(syz_c, 2) ** 2
+        + _rm(_rm(syz_c, 1), 2) ** 2
+    )
+    nu = (th * th * d2) * jnp.sqrt(acc)  # [j] <-> nu[l=j+1], shape w-2
+
+    # stress (2 nu S; off-diagonal viscosity averaged to edges)
+    sigxx = 2.0 * nu * sxx[: w - 2]  # [j] <-> sigma_xx[l=j+1]
+    sigyy = 2.0 * nu * syy[1 : w - 1]
+    sigzz = 2.0 * nu * szz[1 : w - 1]
+    nu_py = _rp(nu, 1)
+    nu_pz = _rp(nu, 2)
+    sigxy = (
+        0.5
+        * (nu[: w - 3] + nu[1 : w - 2] + nu_py[: w - 3] + nu_py[1 : w - 2])
+        * sxy[1 : w - 2]
+    )  # [m] <-> sigma_xy[l=m+1], shape w-3
+    sigxz = (
+        0.5
+        * (nu[: w - 3] + nu[1 : w - 2] + nu_pz[: w - 3] + nu_pz[1 : w - 2])
+        * sxz[1 : w - 2]
+    )
+    sigyz = (
+        0.5 * (nu + nu_py + nu_pz + _rp(nu_py, 2)) * syz[1 : w - 1]
+    )  # [j] <-> sigma_yz[l=j+1]
+
+    # tensor divergence on output planes o in [0, bx) (global start + o)
+    cx = (sigxx[2 : bx + 2] - sigxx[1 : bx + 1]) / dx[0]
+    cx += (sigxy - _rm(sigxy, 1))[1 : bx + 1] / dx[1]
+    cx += (sigxz - _rm(sigxz, 2))[1 : bx + 1] / dx[2]
+    cy = (sigxy[1 : bx + 1] - sigxy[:bx]) / dx[0]
+    cy += (_rp(sigyy, 1) - sigyy)[1 : bx + 1] / dx[1]
+    cy += (sigyz - _rm(sigyz, 2))[1 : bx + 1] / dx[2]
+    cz = (sigxz[1 : bx + 1] - sigxz[:bx]) / dx[0]
+    cz += (sigyz - _rm(sigyz, 1))[1 : bx + 1] / dx[1]
+    cz += (_rp(sigzz, 2) - sigzz)[1 : bx + 1] / dx[2]
+    if with_bf:
+        cx = cx + sbf[slot, 0]
+        cy = cy + sbf[slot, 1]
+        cz = cz + sbf[slot, 2]
+    out_ref[0, :, :, :] = cx
+    out_ref[1, :, :, :] = cy
+    out_ref[2, :, :, :] = cz
+
+
+def smagorinsky_force_3d(
+    u_int, theta, dxs, *, bodyforce=None, bx=None, interpret=False
+):
+    """Natural-form Smagorinsky closure force on interior-layout
+    periodic-uniform fields in ONE HBM pass (strain, eddy viscosity,
+    stress and its divergence never materialize in HBM; the reference
+    runs them as 4 separate kernel sweeps, src/eddyviscosity.jl:48-156).
+    ``theta`` is a traced scalar; ``bodyforce`` (optional, steady) is
+    added to the output so the downstream stage kernel sees LES + force
+    as one stream."""
+    D, nx, ny, nz = u_int.shape
+    assert D == 3
+    d2 = float(sum(dx * dx for dx in dxs))
+    with_bf = bodyforce is not None
+    if bx is None:
+        bx = _pick_bx(nx, lambda b: 50 * b + 150, ny * nz)
+    while nx % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _smag_force_kernel,
+        dx=tuple(map(float, dxs)),
+        d2=d2,
+        bx=bx,
+        n=nx,
+        with_bf=with_bf,
+    )
+    theta_arr = jnp.reshape(theta, (1,)).astype(u_int.dtype)
+    args = [theta_arr, u_int] + ([bodyforce] if with_bf else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(nx // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (1 + with_bf),
+        out_specs=pl.BlockSpec(
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, nz), u_int.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 4, ny, nz), u_int.dtype),
+            pltpu.VMEM((2, 3, bx, ny, nz), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def _pcmsd_hat_kernel(
@@ -963,8 +1179,8 @@ def _pcmsd_hat_kernel(
         cp.wait()
 
     # inverse transform the bx+4 qhat planes: q = V_y @ qhat @ V_z^T
-    vy_s = _split_bf16(vy_hbm[...])
-    vzT_s = _split_bf16(vzT_hbm[...])
+    vy_s = _prep_mat(vy_hbm, manualhigh)
+    vzT_s = _prep_mat(vzT_hbm, manualhigh)
     qplanes = []
     for p in range(bx + 4):
         t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
@@ -1064,7 +1280,7 @@ def pcmsd_hat_3d(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * (m + 3)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (m + 3)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -1130,8 +1346,8 @@ def _pc_qhat_kernel(
         cp.wait()
 
     # inverse transform the bx+1 qhat planes: q = V_y @ qhat @ V_z^T
-    vy_s = _split_bf16(vy_hbm[...])
-    vzT_s = _split_bf16(vzT_hbm[...])
+    vy_s = _prep_mat(vy_hbm, manualhigh)
+    vzT_s = _prep_mat(vzT_hbm, manualhigh)
     qplanes = []
     for p in range(bx + 1):
         t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
@@ -1174,8 +1390,8 @@ def pressure_correct_qhat_3d(
         kernel,
         grid=(n // bx,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -1265,8 +1481,8 @@ def pressure_correct_3d(ut_int, q_int, dxs, *, bx=None, interpret=False):
         kernel,
         grid=(nx // bx,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM

@@ -11,12 +11,17 @@ come from the same autodiff path).
 
 from __future__ import annotations
 
+import logging
+
+import jax
 import jax.numpy as jnp
 
 from ._stencil import slc
 from .operators import _gradient_tensor
 
-__all__ = ["tensorbasis", "lastdimcontract"]
+__all__ = ["tensorbasis", "lastdimcontract", "monitor"]
+
+_log = logging.getLogger(__name__)
 
 
 def tensorbasis(u, setup):
@@ -64,6 +69,27 @@ def tensorbasis(u, setup):
     for i, v in enumerate(Vs):
         V = V.at[(i,) + sl].set(v)
     return B, V
+
+
+@jax.custom_vjp
+def monitor(tau):
+    """Identity debug hook logging shape/dtype on the forward pass and on
+    the pullback (reference `monitor`, src/tensorbasis.jl:159-167) —
+    drop it into a closure chain to see what flows through AD."""
+    _log.info("Forward monitor: %s %s", tau.dtype, tau.shape)
+    return tau
+
+
+def _monitor_fwd(tau):
+    return monitor(tau), None
+
+
+def _monitor_bwd(_, tbar):
+    _log.info("Pullback monitor: %s %s", tbar.dtype, tbar.shape)
+    return (tbar,)
+
+
+monitor.defvjp(_monitor_fwd, _monitor_bwd)
 
 
 def lastdimcontract(a, b):

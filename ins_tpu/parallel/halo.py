@@ -442,10 +442,12 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         out_specs = uspec
 
     step_sharded = jax.jit(
-        # check_vma=False: pallas_call outputs don't carry varying-mesh
-        # annotations (required for the per-shard slab kernels)
+        # check_vma=False only where required (pallas_call outputs don't
+        # carry varying-mesh annotations); pure-collective configs keep
+        # the replication checking on so a psum/ppermute mistake errors
+        # instead of silently producing wrong per-shard values.
         jax.shard_map(_stepl, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False),
+                      out_specs=out_specs, check_vma=not use_pallas_local),
         donate_argnums=((0, 1) if tq is not None else (0,)) if donate else (),
     )
 

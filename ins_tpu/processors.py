@@ -213,10 +213,11 @@ def observespectrum(setup, *, nupdate=1, npoint=100):
     from .ops._stencil import slc
     from .utils.spectrum import spectral_stuff
 
+    from .utils.spectrum import observe_spectrum
+
     g = setup.grid
     D = g.dim
     st = spectral_stuff(setup, npoint=npoint)
-    masks = st["masks"].reshape(st["masks"].shape[0], -1)
     K = st["K"]
     ip = slc(g.Ip)
 
@@ -229,7 +230,7 @@ def observespectrum(setup, *, nupdate=1, npoint=100):
             uhat = fftn(u[a][ip])
             uhat = uhat[tuple(slice(0, k) for k in K)]
             e = e + jnp.abs(uhat) ** 2 / (2 * float(np.prod(g.Np)) ** 2)
-        return masks.astype(u.dtype) @ e.reshape(-1)
+        return observe_spectrum(e.astype(u.dtype), st)
 
     def initialize(state):
         return dict(kappa=np.asarray(st["kappa"]), ehat=[], t=[])

@@ -84,8 +84,8 @@ def _chunk_sizes(nstep: int, chunk: int):
 _compiled_cache: dict = {}
 
 
-def _get_compiled(setup, method, psolver, theta_is_none, builder):
-    key = (id(setup), id(psolver), method, theta_is_none)
+def _get_compiled(setup, method, psolver, theta_is_none, builder, extra=()):
+    key = (id(setup), id(psolver), method, theta_is_none) + tuple(extra)
     hit = _compiled_cache.get(key)
     if hit is not None:
         return hit[0]
@@ -114,7 +114,7 @@ def solve_unsteady(
     max_chunk=256,
     mesh=None,
     nan_guard=True,
-    projection_precision="manualhigh",
+    projection_precision=None,
 ):
     """Solve the unsteady problem on `tlims`.
 
@@ -130,6 +130,8 @@ def solve_unsteady(
     `projection_precision`: eigen-transform precision on the Pallas
     pressure-projection path — "manualhigh" (default, fastest, residual
     ~4e-5) or "highest" (f32-exact); see docs/manual/precision.md.
+    Only the single-chip fast path honors it; setting it explicitly on a
+    path that cannot (GSPMD mesh, ghosted slice graph) warns.
 
     `nan_guard`: one cheap `isfinite` reduction per scan chunk (SURVEY
     §5.3). On divergence the run aborts with `SolverDivergedError`
@@ -165,9 +167,19 @@ def solve_unsteady(
         )
 
         use_fast = fastpath_applicable(setup, method, psolver)
+        if projection_precision is not None and not use_fast:
+            import warnings
+
+            warnings.warn(
+                "projection_precision is only honored on the single-chip "
+                "fast path; this configuration ignores it",
+                stacklevel=3,
+            )
         if use_fast:
             fast_step = make_fast_timestep(
-                setup, method, projection_precision=projection_precision
+                setup,
+                method,
+                projection_precision=projection_precision or "manualhigh",
             )
 
             def step(s, dtj, th):
@@ -244,7 +256,10 @@ def solve_unsteady(
             cfl_fn=jax.jit(cfl_u),
         )
 
-    fns = _get_compiled(setup, method, psolver, theta is None, _builder)
+    fns = _get_compiled(
+        setup, method, psolver, theta is None, _builder,
+        extra=(projection_precision,),
+    )
     state = fns["make_stepper"](
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)
     )

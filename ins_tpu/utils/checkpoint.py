@@ -123,8 +123,13 @@ def async_checkpointer(path, *, nupdate=1, keep_last=2):
 
 def load_async_checkpoint(path, like=None, step=None):
     """Load the latest (or given) step written by `async_checkpointer`.
-    `like`: optional pytree of arrays providing structure/dtype/sharding
-    for restoration."""
+
+    `like`: optional pytree providing structure and dtype.  Leaves that
+    are `jax.Array`s (or `jax.ShapeDtypeStruct`s carrying a `.sharding`)
+    restore WITH that sharding — orbax reads each host's shards directly,
+    so a pod-sharded state reloads without gathering the full array per
+    host.  Plain numpy/host leaves restore single-host onto the default
+    device (the small-run path)."""
     import orbax.checkpoint as ocp
 
     mngr = ocp.CheckpointManager(os.path.abspath(path))
@@ -135,7 +140,19 @@ def load_async_checkpoint(path, like=None, step=None):
     if like is None:
         restored = mngr.restore(step)
     else:
+
+        def _target(x):
+            # keep shardings: hand orbax an abstract leaf, not a host copy
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return x
+            return np.asarray(x)
+
         restored = mngr.restore(
-            step, args=ocp.args.StandardRestore(jax.tree.map(np.asarray, like))
+            step, args=ocp.args.StandardRestore(jax.tree.map(_target, like))
         )
-    return jax.tree.map(jnp.asarray, dict(restored))
+    return jax.tree.map(
+        lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x),
+        dict(restored),
+    )

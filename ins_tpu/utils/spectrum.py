@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,8 +46,14 @@ def spectral_stuff(setup, *, npoint=100, a=(1 + math.sqrt(5)) / 2):
 
     Returns dict with:
     - `kappa`: integer query wavenumbers (log-spaced),
-    - `masks`: (npoint, *K) boolean bin masks (flattenable to a matmul),
-    - `K`: per-dim wavenumber counts.
+    - `K`: per-dim wavenumber counts,
+    - 2D: `masks`, (npoint, *K) boolean bin masks (dyadic bins overlap, so
+      the reduction is a masked matmul);
+    - 3D: `bin_id`, a (*K,) int32 map cell -> bin (len(kappa) = "no bin"),
+      reduced with one `segment_sum` — the 3D linear bins are disjoint, and
+      the dense-mask matmul would need O(npoint * prod(K)) memory (~840 MB
+      at 256^3, unusable at 512^3). Mirrors the reference's precomputed
+      index lists (src/utils.jl:49-108).
     """
     g = setup.grid
     D = g.dim
@@ -67,26 +74,32 @@ def spectral_stuff(setup, *, npoint=100, a=(1 + math.sqrt(5)) / 2):
         ).astype(int)
     )
 
-    masks = []
-    for kap in kappa:
-        if D == 2:
-            # Dyadic binning (k^-3 slope in 2D)
-            m = (k >= kap / a) & (k < kap * a)
-        else:
-            # Linear binning (k^-5/3 slope in 3D)
-            tol = 0.01
-            m = (k >= kap - tol) & (k < kap + 1 - tol)
-        masks.append(m)
+    out = dict(kappa=jnp.asarray(kappa), K=K)
+    if D == 2:
+        # Dyadic binning (k^-3 slope in 2D); bins overlap, keep masks
+        masks = [(k >= kap / a) & (k < kap * a) for kap in kappa]
+        out["masks"] = jnp.asarray(np.stack(masks))
+    else:
+        # Linear binning (k^-5/3 slope in 3D): cell -> bin of the integer
+        # shell floor(k + tol); shells absent from kappa map to the
+        # overflow id len(kappa) and are dropped by the segment_sum.
+        tol = 0.01
+        shell = np.floor(k + tol).astype(np.int64)
+        lut = np.full(int(shell.max()) + 2, len(kappa), dtype=np.int32)
+        lut[kappa] = np.arange(len(kappa), dtype=np.int32)
+        out["bin_id"] = jnp.asarray(lut[shell])
+    return out
 
-    return dict(
-        kappa=jnp.asarray(kappa),
-        masks=jnp.asarray(np.stack(masks)),
-        K=K,
-    )
 
-
-def observe_spectrum(u_hat_energy, masks):
-    """Bin a (flattened) spectral energy field: one matmul over bin masks."""
+def observe_spectrum(u_hat_energy, st):
+    """Bin a spectral energy field using precomputed `spectral_stuff`
+    bins: masked matmul (2D, overlapping dyadic bins) or one segment_sum
+    over the flat bin-id map (3D, disjoint linear bins)."""
     e = u_hat_energy.reshape(-1)
-    m = masks.reshape(masks.shape[0], -1).astype(e.dtype)
+    if "bin_id" in st:
+        nk = st["kappa"].shape[0]
+        return jax.ops.segment_sum(
+            e, st["bin_id"].reshape(-1), num_segments=nk + 1
+        )[:nk]
+    m = st["masks"].reshape(st["masks"].shape[0], -1).astype(e.dtype)
     return m @ e

@@ -73,3 +73,54 @@ def test_wallshear_linear_profile():
     tau_hi = hi.initialize(st)["tau"][0]
     assert abs(tau_lo - 1.0 / 100.0) < 1e-12
     assert abs(tau_hi - 1.0 / 100.0) < 1e-12
+
+
+def test_spectrum_binid_matches_dense_masks_3d():
+    """The 3D segment_sum bin-id reduction must equal the dense-mask
+    matmul it replaced (the masks needed O(npoint * prod(K)) memory —
+    ~840 MB at 256^3; the bin-id map is one int per cell)."""
+    import math
+
+    from ins_tpu.utils.spectrum import observe_spectrum, spectral_stuff
+
+    n = 16
+    x = (np.linspace(0.0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup = ins.Setup(x=x, boundary_conditions=bc, dtype=jnp.float64)
+    st = spectral_stuff(setup, npoint=20)
+    assert "bin_id" in st and "masks" not in st
+
+    rng = np.random.default_rng(0)
+    K = st["K"]
+    e = jnp.asarray(rng.standard_normal(K) ** 2)
+    got = observe_spectrum(e, st)
+
+    # dense reference masks (the pre-round-3 formulation)
+    kk = np.zeros(K)
+    for d in range(3):
+        kd = np.arange(K[d]).reshape([-1 if i == d else 1 for i in range(3)])
+        kk = kk + kd.astype(np.float64) ** 2
+    k = np.sqrt(kk)
+    tol = 0.01
+    want = np.stack(
+        [
+            ((k >= kap - tol) & (k < kap + 1 - tol)).reshape(-1)
+            for kap in np.asarray(st["kappa"])
+        ]
+    ).astype(np.float64) @ np.asarray(e).reshape(-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-12)
+
+
+def test_spectrum_masks_2d_unchanged():
+    from ins_tpu.utils.spectrum import observe_spectrum, spectral_stuff
+
+    n = 32
+    x = (np.linspace(0.0, 2 * np.pi, n + 1),) * 2
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 2
+    setup = ins.Setup(x=x, boundary_conditions=bc, dtype=jnp.float64)
+    st = spectral_stuff(setup, npoint=20)
+    assert "masks" in st
+    e = jnp.ones(st["K"], jnp.float64)
+    got = np.asarray(observe_spectrum(e, st))
+    want = np.asarray(st["masks"]).reshape(len(st["kappa"]), -1).sum(1)
+    np.testing.assert_allclose(got, want)

@@ -308,3 +308,25 @@ def test_pressure_correct_kernel_matches_rolls():
     u = pressure_correct_3d(ut, q, dx, interpret=True)
     G = jnp.stack([(jnp.roll(q, -1, a) - q) / dx[a] for a in range(3)])
     assert float(jnp.max(jnp.abs(u - (ut - G)))) < 1e-4
+
+
+def test_smagorinsky_force_kernel_matches_roll_twin():
+    """Fused Smagorinsky force kernel == roll-graph interior twin (which
+    itself matches the ghosted natural closure to machine precision on
+    periodic uniform grids — see test_les.py)."""
+    from ins_tpu.ops.eddyviscosity import smagorinsky_natural_interior
+    from ins_tpu.ops.pallas_kernels import smagorinsky_force_3d
+
+    n = 16
+    dx = (2 * np.pi / n, 1.0 / n, 0.5 / n)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    th = jnp.float32(0.17)
+    ref = smagorinsky_natural_interior(u, th, dx)
+    got = smagorinsky_force_3d(u, th, dx, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(ref - got))) < 1e-6 * scale
+
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    got2 = smagorinsky_force_3d(u, th, dx, bodyforce=bf, interpret=True)
+    assert float(jnp.max(jnp.abs(ref + bf - got2))) < 1e-6 * scale
