@@ -32,26 +32,11 @@ __all__ = [
 ]
 
 
-def _wrap_ghosts(f, setup):
-    """Fill the ghost planes of every *periodic* dimension of a
-    full-N scalar field by wrapping (gather-style, GSPMD-safe).
-
-    The reference never fills strain/viscosity/stress ghosts
-    (src/eddyviscosity.jl kernels write Ip only), so its shifted reads at
-    periodic domain edges see stale zeros; on a torus the consistent
-    staggered form wraps, which also makes the ghosted closure agree
-    exactly with the ghost-free fast-path formulation.  Non-periodic
-    dimensions keep the reference's zero-ghost semantics."""
-    g = setup.grid
-    for d in range(g.dim):
-        if not g.periodic[d]:
-            continue
-        n = g.N[d]
-        idx = np.arange(n)
-        idx[0] = n - 2
-        idx[-1] = 1
-        f = jnp.take(f, jnp.asarray(idx), axis=f.ndim - g.dim + d)
-    return f
+# Periodic-ghost wrap for intermediate fields (the reference never fills
+# strain/viscosity/stress ghosts — src/eddyviscosity.jl kernels write Ip
+# only — so its shifted reads at periodic edges see stale zeros; see
+# operators.wrap_periodic_ghosts).
+from .operators import wrap_periodic_ghosts as _wrap_ghosts
 
 # Natural strain component order: 2D (xx, yy, xy); 3D (xx, yy, zz, xy, xz, yz)
 _PAIRS = {2: [(0, 0), (1, 1), (0, 1)], 3: [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]}

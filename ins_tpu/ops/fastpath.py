@@ -25,17 +25,36 @@ import numpy as np
 from ..time_steppers.methods import ExplicitRungeKuttaMethod, LMWray3
 from ..time_steppers.step import StepperState
 
-__all__ = ["fastpath_applicable", "strip_ghosts", "reghost", "make_fast_timestep"]
+__all__ = [
+    "fastpath_applicable",
+    "strip_ghosts",
+    "reghost",
+    "strip_scalar",
+    "reghost_scalar",
+    "strip_state",
+    "reghost_state",
+    "make_fast_timestep",
+]
 
 
 def fastpath_applicable(setup, method, psolver):
-    """Fast path requires: 2D/3D uniform periodic grid, no temperature,
-    an explicit RK / LMWray3 method, and the spectral pressure solver."""
+    """Fast path requires: 2D/3D uniform periodic grid, an explicit RK /
+    LMWray3 method, the spectral pressure solver, and — if a Boussinesq
+    temperature equation is attached — periodic temperature BCs (the
+    temperature then rides the same roll graph, incl. the dissipation
+    term; reference treats the temperature RHS as first-class in the hot
+    loop, src/time_steppers/step_explicit_runge_kutta.jl:20-28)."""
     g = setup.grid
+    tq = setup.temperature
+    temp_ok = tq is None or all(
+        type(b).__name__ == "PeriodicBC"
+        for bcs in tq.boundary_conditions
+        for b in bcs
+    )
     return (
         all(g.periodic)
         and all(g.uniform)
-        and setup.temperature is None
+        and temp_ok
         and isinstance(method, (ExplicitRungeKuttaMethod, LMWray3))
         and getattr(psolver, "is_spectral", False)
     )
@@ -50,6 +69,30 @@ def reghost(u_int):
     """Periodic wrap pad == the periodic ghost fill."""
     D = u_int.ndim - 1
     return jnp.pad(u_int, ((0, 0),) + ((1, 1),) * D, mode="wrap")
+
+
+def strip_scalar(s):
+    return s[(slice(1, -1),) * s.ndim]
+
+
+def reghost_scalar(s_int):
+    return jnp.pad(s_int, ((1, 1),) * s_int.ndim, mode="wrap")
+
+
+def strip_state(state):
+    """Public (ghosted) -> fast-path (interior) state layout."""
+    state = state._replace(u=strip_ghosts(state.u))
+    if state.temp is not None:
+        state = state._replace(temp=strip_scalar(state.temp))
+    return state
+
+
+def reghost_state(state):
+    """Fast-path (interior) -> public (ghosted) state layout."""
+    state = state._replace(u=reghost(state.u))
+    if state.temp is not None:
+        state = state._replace(temp=reghost_scalar(state.temp))
+    return state
 
 
 def _roll_p(v, d):  # v[I + e_d]
@@ -133,6 +176,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     # the roll graph remains the fallback (CPU, 2D, unaligned n).
     from .pallas_kernels import (
         convdiff_interior_3d,
+        fused_cube_supported,
         momentum_stage_divhat_3d,
         pallas_supported,
         pressure_correct_3d,
@@ -144,6 +188,21 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     use_pallas = pallas_supported(setup)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
+
+    # Boussinesq temperature (periodic BCs — checked by
+    # `fastpath_applicable`): buoyancy in the momentum, temperature
+    # convection-diffusion (+ optional dissipation) advanced with the
+    # same tableau.  Reference: src/operators.jl:711-808, 916-931.
+    tq = setup.temperature
+    if tq is not None:
+        gdir = tq.gdir
+        alpha2 = float(np.asarray(tq.alpha2))
+        alpha4 = float(np.asarray(tq.alpha4))
+        dis_coef = (
+            float(np.asarray(setup.Re * tq.alpha1 / tq.gamma))
+            if tq.dodissipation
+            else None
+        )
     # A natural-form Smagorinsky closure (tagged by
     # `smagorinsky_closure_natural`) runs on the fast path as its
     # ghost-free twin: the fused Pallas force kernel on the Pallas path,
@@ -158,9 +217,10 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     # callable) forces and untagged closures stay on the momentum() path.
     _no_bf = setup.bodyforce is None and setup.bodyforce_field is None
     use_fused_stage = (
-        use_pallas
+        fused_cube_supported(setup)
         and (setup.closure_model is None or _smag)
         and (_no_bf or bodyforce_int is not None)
+        and tq is None
     )
 
     def convdiff(u):
@@ -187,8 +247,11 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
             F.append(f)
         return jnp.stack(F)
 
-    def momentum(u, t, theta):
+    def momentum(u, temp, t, theta):
         F = convdiff(u)
+        if temp is not None:
+            tavg = 0.5 * (temp + _roll_p(temp, gdir))
+            F = F.at[gdir].add(alpha2 * tavg)
         if bodyforce_int is not None:
             F = F + bodyforce_int
         elif setup.bodyforce is not None:
@@ -210,6 +273,35 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
             # Untagged closure models take the ghosted solver layout
             F = F + strip_ghosts(setup.closure_model(reghost(u), theta))
         return F
+
+    def temp_rhs(u, temp):
+        """Temperature convection-diffusion (+ optional dissipation) on
+        the periodic-uniform interior layout (roll twin of
+        operators.convection_diffusion_temp / dissipation)."""
+        acc = 0.0
+        for b in range(D):
+            T_pb, T_mb = _roll_p(temp, b), _roll_m(temp, b)
+            ub = u[b]
+            uT2 = ub * 0.5 * (temp + T_pb)
+            uT1 = _roll_m(ub, b) * 0.5 * (T_mb + temp)
+            dT2 = (T_pb - temp) / dxs[b]
+            dT1 = (temp - T_mb) / dxs[b]
+            acc = acc + (-(uT2 - uT1) + alpha4 * (dT2 - dT1)) / dxs[b]
+        if dis_coef is not None:
+            visc = 1 / setup.Re
+            dacc = 0.0
+            for b in range(D):
+                ub = u[b]
+                diffb = sum(
+                    (visc / dxs[c] ** 2)
+                    * (_roll_p(ub, c) - 2.0 * ub + _roll_m(ub, c))
+                    for c in range(D)
+                )
+                dacc = dacc + (
+                    _roll_m(ub, b) * _roll_m(diffb, b) + ub * diffb
+                ) / 2
+            acc = acc + dis_coef * dacc
+        return acc
 
     def solve_p(div):
         if use_mm_poisson:
@@ -293,10 +385,11 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         # is the production path.
 
         def step(state, dt, theta):
-            u, _, t, n = state
+            u, temp, t, n = state
             tstart = t
             ustart = u
-            ku = []
+            tempstart = temp
+            ku, kt = [], []
             for i in range(ns):
                 if use_fused_stage:
                     t = tstart + c[i] * dt
@@ -321,22 +414,30 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
                 for j in range(i):
                     if A[i][j] != 0.0:
                         base = base + (dt * A[i][j]) * ku[j]
-                ku.append(momentum(u, t, theta))
+                ku.append(momentum(u, temp, t, theta))
+                if temp is not None:
+                    kt.append(temp_rhs(u, temp))
                 t = tstart + c[i] * dt
                 if A[i][i] != 0.0:
                     u = stage_project(base, ku[i], dt * A[i][i])
                 else:  # degenerate diagonal entry: nothing new to add
                     u = project(base)
-            return StepperState(u=u, temp=None, t=t, n=n + 1)
+                if temp is not None:
+                    temp = tempstart
+                    for j in range(i + 1):
+                        if A[i][j] != 0.0:
+                            temp = temp + (dt * A[i][j]) * kt[j]
+            return StepperState(u=u, temp=temp, t=t, n=n + 1)
 
     else:  # LMWray3
         a_, b_, c_ = method.a, method.b, method.c
         ns = len(a_)
 
         def step(state, dt, theta):
-            u, _, t, n = state
+            u, temp, t, n = state
             tstart = t
             ustart = u
+            tempstart = temp
             for i in range(ns):
                 ti = tstart + c_[i] * dt
                 if use_fused_stage:
@@ -350,10 +451,15 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
                     if i < ns - 1:
                         ustart = usnew
                     continue
-                du = momentum(u, ti, theta)
+                du = momentum(u, temp, ti, theta)
+                dtemp = temp_rhs(u, temp) if temp is not None else None
                 u = stage_project(ustart, du, dt * a_[i])
+                if temp is not None:
+                    temp = tempstart + dt * a_[i] * dtemp
                 if i < ns - 1:
                     ustart = ustart + dt * b_[i] * du
-            return StepperState(u=u, temp=None, t=tstart + dt, n=n + 1)
+                    if temp is not None:
+                        tempstart = tempstart + dt * b_[i] * dtemp
+            return StepperState(u=u, temp=temp, t=tstart + dt, n=n + 1)
 
     return step

@@ -263,13 +263,35 @@ def convection_diffusion_temp(u, temp, setup):
     return out.at[slc(box)].set(acc)
 
 
+def wrap_periodic_ghosts(f, setup):
+    """Fill the ghost planes of every *periodic* dimension of a full-N
+    field (trailing dims spatial) by wrapping, gather-style.
+
+    Used where the reference reads stale zero ghosts of an intermediate
+    field at periodic edges (dissipation's diffusion interpolation,
+    src/operators.jl:796-806; the natural-Smagorinsky strain/viscosity/
+    stress sweeps): on a torus the consistent staggered form wraps, which
+    also makes the ghosted paths agree exactly with the ghost-free fast
+    paths.  Non-periodic dimensions are left untouched."""
+    g = setup.grid
+    for d in range(g.dim):
+        if not g.periodic[d]:
+            continue
+        n = g.N[d]
+        idx = np.arange(n)
+        idx[0] = n - 2
+        idx[-1] = 1
+        f = jnp.take(f, jnp.asarray(idx), axis=f.ndim - g.dim + d)
+    return f
+
+
 def dissipation(u, setup):
     """Dissipation term of the temperature equation
     (src/operators.jl:787-808): Re·α1/γ · interpolation of u ⊙ diffusion(u)
-    to pressure points."""
+    to pressure points (diffusion ghosts wrapped on periodic dims)."""
     g = setup.grid
     t = setup.temperature
-    diff = diffusion(u, setup)
+    diff = wrap_periodic_ghosts(diffusion(u, setup), setup)
     box = g.Ip
     coef = setup.Re * t.alpha1 / t.gamma
     acc = 0.0

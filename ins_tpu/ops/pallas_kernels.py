@@ -140,18 +140,32 @@ def _convdiff_window(at, visc, dx, a):
 
 
 def pallas_supported(setup):
-    """Whether the fused Pallas path applies: TPU backend, 3D uniform
-    periodic grid with lane-aligned interior extent."""
+    """Whether the per-op slab kernels apply (conv-diff, stage+div,
+    pressure-correct, Smagorinsky): TPU backend, 3D uniform periodic
+    grid, lane-aligned z extent and sublane-aligned y extent (any box —
+    x slabs are untiled).  The *fused-projection* stage chain
+    additionally needs a cube (`fused_cube_supported`)."""
     g = setup.grid
     if g.dim != 3 or not (all(g.periodic) and all(g.uniform)):
         return False
-    n = g.N[-1] - 2
-    if n % 128 != 0 or any(g.N[d] != g.N[-1] for d in range(3)):
-        return False  # slab kernels require a lane-aligned cube
+    ny, nz = g.N[1] - 2, g.N[2] - 2
+    if nz % 128 != 0 or ny % 8 != 0:
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def fused_cube_supported(setup):
+    """Whether the fully-fused stage chain (in-kernel z/y eigen
+    transforms + Poisson pass B) applies: `pallas_supported` on a
+    lane-aligned cube."""
+    g = setup.grid
+    if not pallas_supported(setup):
+        return False
+    n = g.N[-1] - 2
+    return n % 128 == 0 and all(g.N[d] == g.N[-1] for d in range(3))
 
 
 def _convdiff3d_kernel(u_hbm, f_out, scratch, sems, *, visc, dx, bx, n):

@@ -114,12 +114,14 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             for bcs in tq.boundary_conditions
             for b in bcs
         ), "halo fast path: periodic temperature BCs only"
-        assert not tq.dodissipation, (
-            "halo fast path: temperature dissipation term not supported"
-        )
         gdir = tq.gdir
         alpha2 = float(np.asarray(tq.alpha2))
         alpha4 = float(np.asarray(tq.alpha4))
+        dis_coef = (
+            float(np.asarray(setup.Re * tq.alpha1 / tq.gamma))
+            if tq.dodissipation
+            else None
+        )
 
     def pad_all(v, dims):
         """Halo-pad spatial dims of a local block; x before y so the
@@ -208,8 +210,9 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         return F
 
     def temp_rhs_local(u, temp):
-        """Temperature convection-diffusion on the local block (uniform
-        periodic form of operators.convection_diffusion_temp)."""
+        """Temperature convection-diffusion (+ optional dissipation) on
+        the local block (uniform periodic form of
+        operators.convection_diffusion_temp / dissipation)."""
         tp = pad_all(temp, (0, 1))
         up = [pad_all(u[b], (0, 1)) for b in range(3)]
         T = shift(tp, 0, 0, 0)
@@ -225,6 +228,30 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             uT1 = ub_m * 0.5 * (T_mb + T)
             uT2 = ub_c * 0.5 * (T + T_pb)
             acc += (-(uT2 - uT1) + alpha4 * (dT2 - dT1)) / dxs[b]
+        if dis_coef is not None:
+            # u.diffusion(u) interpolated to pressure points; the
+            # diffusion eval needs a 2-wide halo, obtained by computing
+            # it on the 1-halo'd block and re-padding the result.
+            visc = 1 / setup.Re
+            dacc = jnp.zeros_like(T)
+            for b in range(3):
+                sb = e[b]
+                diffb = jnp.zeros_like(T)
+                for cdim in range(3):
+                    sc = e[cdim]
+                    diffb += (visc / dxs[cdim] ** 2) * (
+                        shift(up[b], *sc)
+                        - 2.0 * shift(up[b], 0, 0, 0)
+                        + shift(up[b], *(-s for s in sc))
+                    )
+                dp = pad_all(diffb, (0, 1))
+                ub_c = shift(up[b], 0, 0, 0)
+                ub_m = shift(up[b], *(-s for s in sb))
+                dacc += (
+                    ub_m * shift(dp, *(-s for s in sb))
+                    + ub_c * shift(dp, 0, 0, 0)
+                ) / 2
+            acc += dis_coef * dacc
         return acc
 
     # ---------------- pressure solves ----------------

@@ -163,7 +163,8 @@ def solve_unsteady(
             fastpath_applicable,
             make_fast_timestep,
             reghost,
-            strip_ghosts,
+            reghost_state,
+            strip_state,
         )
 
         use_fast = fastpath_applicable(setup, method, psolver)
@@ -185,7 +186,8 @@ def solve_unsteady(
             def step(s, dtj, th):
                 return fast_step(s, dtj, th)
 
-            strip = jax.jit(strip_ghosts)
+            strip = jax.jit(strip_state)
+            regh_state = jax.jit(reghost_state)
             regh = jax.jit(reghost)
         else:
 
@@ -194,7 +196,7 @@ def solve_unsteady(
                     method, s, dtj, setup=setup, psolver=psolver, theta=th
                 )
 
-            strip = regh = None
+            strip = regh = regh_state = None
 
         # One jit for stepper creation: AB-CN/one-leg initialization
         # includes a pressure solve (expensive op-by-op on remote-compile
@@ -249,6 +251,7 @@ def solve_unsteady(
             use_fast=use_fast,
             strip=strip,
             regh=regh,
+            regh_state=regh_state,
             make_stepper=make_stepper,
             step1=step1,
             scan_steps=scan_steps,
@@ -264,10 +267,10 @@ def solve_unsteady(
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)
     )
     if fns["use_fast"]:
-        state = state._replace(u=fns["strip"](state.u))
+        state = fns["strip"](state)
 
         def to_public(s):
-            return s._replace(u=fns["regh"](s.u))
+            return fns["regh_state"](s)
 
     else:
 

@@ -115,3 +115,41 @@ def test_fastpath_adaptive_dt():
     )
     assert float(s.t) == pytest.approx(0.03, abs=1e-12)
     assert not np.any(np.isnan(s.u))
+
+
+@pytest.mark.parametrize("method", ["rk44", "lmwray3"])
+@pytest.mark.parametrize("dodissipation", [False, True])
+def test_fastpath_temperature_matches_ghosted(method, dodissipation):
+    """Boussinesq temperature on the fast path (periodic temp BCs): must
+    reproduce the ghosted path, incl. the dissipation term."""
+    n, D = 16, 2
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * D
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * D
+    te = ins.temperature_equation(
+        Pr=0.71, Ra=1e5, Ge=0.5, boundary_conditions=bc, gdir=1,
+        dodissipation=dodissipation, dtype=jnp.float64,
+    )
+    setup = ins.Setup(
+        x=x, boundary_conditions=bc, temperature=te, dtype=jnp.float64
+    )
+    m = ins.RKMethods.RK44() if method == "rk44" else ins.LMWray3()
+    ps = psolver_spectral(setup)
+    u0 = ins.random_field(setup, kp=3, rng=jax.random.PRNGKey(3))
+    g = setup.grid
+    xp = np.meshgrid(*[np.asarray(g.xp[d]) for d in range(D)], indexing="ij")
+    t0 = jnp.asarray(np.sin(xp[0]) * np.cos(xp[1]), jnp.float64)
+
+    assert fastpath_applicable(setup, m, ps)
+    s_fast, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tempstart=t0, tlims=(0.0, 0.03), dt=1e-2,
+        method=m, psolver=ps,
+    )
+    s_ref, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tempstart=t0, tlims=(0.0, 0.03), dt=1e-2,
+        method=m, psolver=psolver_cg(setup, reltol=1e-13),
+    )
+    assert float(jnp.max(jnp.abs(s_fast.u - s_ref.u))) < 1e-9
+    assert float(jnp.max(jnp.abs(s_fast.temp - s_ref.temp))) < 1e-9
+    # public temp layout is re-ghosted and periodic
+    tn = np.asarray(s_fast.temp)
+    np.testing.assert_allclose(tn[0], tn[-2])

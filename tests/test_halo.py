@@ -119,7 +119,8 @@ def test_halo_cg_1d_mesh():
 
 @needs8
 @pytest.mark.parametrize("mshape", [(4,), (2, 2)])
-def test_halo_temperature(mshape):
+@pytest.mark.parametrize("dodissipation", [False, True])
+def test_halo_temperature(mshape, dodissipation):
     """Periodic Boussinesq coupling on the halo path == the ghosted
     reference stepper (strip/reghost across the layout boundary)."""
     from ins_tpu.boundary_conditions import apply_bc_temp, apply_bc_u
@@ -129,7 +130,7 @@ def test_halo_temperature(mshape):
     n = 16
     tbc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
     temperature = ins.temperature_equation(
-        Pr=0.71, Ra=1e5, Ge=1.0, dodissipation=False,
+        Pr=0.71, Ra=1e5, Ge=1.0, dodissipation=dodissipation,
         boundary_conditions=tbc, gdir=1, dtype=jnp.float64,
     )
     setup = _setup3d(n, temperature=temperature)
