@@ -75,6 +75,34 @@ def main():
     ms = (time.perf_counter() - t0) / 20 * 1e3
     print(f"halo path: {ms:.3f} ms/step at {n}^3 (1 shard)")
 
+    # LES (fused Smagorinsky force stream through the halo stage chain)
+    setup_les = ins.Setup(
+        x=x, boundary_conditions=bc, Re=4000.0, dtype=dtype,
+        closure_model=ins.smagorinsky_closure_natural(setup),
+    )
+    lstep = make_halo_fast_step(setup_les, method, mesh)
+    ls = StepperState(
+        u=shard_interior(mesh, u0i), temp=None,
+        t=jnp.asarray(0.0, dtype), n=jnp.asarray(0),
+    )
+    th = jnp.asarray(0.17, dtype)
+    ls = lstep(ls, dt, th)
+    jax.block_until_ready(ls.u)
+    fast_les = fastpath.make_fast_timestep(setup_les, method)
+    sl = StepperState(u=u0i, temp=None, t=jnp.asarray(0.0, dtype),
+                      n=jnp.asarray(0))
+    sl = jax.jit(lambda st: fast_les(st, dt, th))(sl)
+    jax.block_until_ready(sl.u)
+    dles = float(jnp.max(jnp.abs(ls.u - sl.u)))
+    print(f"halo LES vs fast LES: max diff {dles:.3e}")
+    assert dles < 5e-3 * scale
+    t0 = time.perf_counter()
+    for _ in range(20):
+        ls = lstep(ls, dt, th)
+    jax.block_until_ready(ls.u)
+    ms = (time.perf_counter() - t0) / 20 * 1e3
+    print(f"halo LES path: {ms:.3f} ms/step at {n}^3 (1 shard)")
+
 
 if __name__ == "__main__":
     main()

@@ -33,9 +33,13 @@ __all__ = [
     "stage_div_3d",
     "momentum_stage_div_3d",
     "momentum_stage_divhat_3d",
+    "momentum_stage_divhat_halo_3d",
     "pcmsd_hat_3d",
     "pressure_correct_3d",
     "pressure_correct_qhat_3d",
+    "pressure_correct_qhat_halo_3d",
+    "smagorinsky_force_3d",
+    "smagorinsky_force_halo_3d",
     "pallas_supported",
 ]
 
@@ -740,11 +744,16 @@ def _stage_tail(
     at, coeffs_smem, sb, slot, k_out, ut_out, divhat_out, usnew_out,
     vinvy_hbm, vinvzT_hbm,
     *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew, bf=None,
+    acc=None,
 ):
     """Shared stage tail: conv-diff on the window, optional k / usnew
     outputs, tableau accumulation, divergence, z/y forward transform.
     ``bf``: optional per-component accessor for a steady body-force
-    window (added to the momentum eval, so part of k)."""
+    window (added to the momentum eval, so part of k).
+    ``acc``: optional per-component accessor for an already-accumulated
+    base window (the streaming kernel folds the tableau streams as they
+    land instead of holding them all; with ``with_usnew`` the caller
+    guarantees m == 0 so acc IS the ustart window)."""
     d = None
     for a in range(3):
         f = _convdiff_window(at, visc, dx, a)
@@ -753,13 +762,15 @@ def _stage_tail(
         if emit_k:
             k_out[a, :, :, :] = f[1:]
         if with_usnew:
-            usnew_out[a, :, :, :] = (
-                sb[slot, 0, a][1:] + coeffs_smem[m + 1] * f[1:]
-            )
+            base0 = acc(a) if acc is not None else sb[slot, 0, a]
+            usnew_out[a, :, :, :] = base0[1:] + coeffs_smem[m + 1] * f[1:]
         # tableau accumulation: ustart + sum_j c_j k_j + c_new f
-        utw = sb[slot, 0, a]
-        for q in range(1, m + 1):
-            utw = utw + coeffs_smem[q - 1] * sb[slot, q, a]
+        if acc is not None:
+            utw = acc(a)
+        else:
+            utw = sb[slot, 0, a]
+            for q in range(1, m + 1):
+                utw = utw + coeffs_smem[q - 1] * sb[slot, q, a]
         utw = utw + coeffs_smem[m] * f
         ut_c = utw[1:]
         ut_out[a, :, :, :] = ut_c
@@ -776,10 +787,148 @@ def _stage_tail(
         divhat_out[p, :, :] = _mm_h_left(vinvy_s, t, manualhigh)
 
 
+def _msd_hat_stream_kernel(
+    coeffs_smem, u_hbm, *args,
+    visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
+    with_bf=False,
+):
+    """`_msd_hat_kernel` with SEQUENTIAL stream accumulation.
+
+    The full-prefetch kernel holds every tableau stream window in VMEM
+    at once (6*nst*(bx+1) scratch planes), which forces bx=1 on deep
+    tableau rows at 512^3 (~35% step-time regression vs LMWray3,
+    BASELINE.md "Round-2 late").  Here the streams ping-pong through ONE
+    double-buffered window and fold into a persistent accumulator as
+    they land, so the scratch cost is FLAT in the stream count: the
+    per-stream axpy (VPU) overlaps the next stream's DMA, total HBM
+    traffic is unchanged, and deep stages keep bx>=2 at 512^3 (bx=8 at
+    256^3).  A body-force stream rides last and stays resident in its
+    landing buffer (it joins the momentum eval, not the base)."""
+    nst = m + 1 + with_bf
+    streams = args[:nst]
+    vinvy_hbm = args[nst]
+    vinvzT_hbm = args[nst + 1]
+    outs = list(args[nst + 2 : nst + 2 + emit_k + 2 + with_usnew])
+    rest = args[nst + 2 + emit_k + 2 + with_usnew :]
+    k_out = outs.pop(0) if emit_k else None
+    ut_out = outs.pop(0)
+    divhat_out = outs.pop(0)
+    usnew_out = outs.pop(0) if with_usnew else None
+    su, sb, sacc, sems = rest
+
+    i = pl.program_id(0)
+    nslab = n // bx
+    slot = i % 2
+
+    def ucopies(j, s):
+        start = j * bx
+        lo1 = (start - 1 + n) % n
+        lo2 = (start - 2 + n) % n
+        hi = (start + bx) % n
+        return [
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, bx)],
+                su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo1, 1)],
+                su.at[s, :, pl.ds(1, 1)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(lo2, 1)],
+                su.at[s, :, pl.ds(0, 1)],
+                sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(hi, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)],
+                sems.at[s, 3],
+            ),
+        ]
+
+    def scp(j, q, p):
+        """Stream q's (bx+1)-plane window of slab j into ping-pong
+        buffer p (sem pair rides the buffer)."""
+        start = j * bx
+        lo1 = (start - 1 + n) % n
+        return [
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(start, bx)],
+                sb.at[p, :, pl.ds(1, bx)],
+                sems.at[p, 4],
+            ),
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(lo1, 1)],
+                sb.at[p, :, pl.ds(0, 1)],
+                sems.at[p, 5],
+            ),
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cp in ucopies(0, 0):
+            cp.start()
+        for cp in scp(0, 0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in ucopies(i + 1, (i + 1) % 2):
+            cp.start()
+
+    for cp in ucopies(i, slot):
+        cp.wait()
+
+    base_par = (i * nst) % 2
+    for q in range(nst):
+        p = (base_par + q) % 2
+        pn = (base_par + q + 1) % 2
+        # issue the NEXT stream's DMAs before folding this one, so the
+        # axpy compute hides the transfer
+        if q + 1 < nst:
+            for cp in scp(i, q + 1, pn):
+                cp.start()
+        else:
+
+            @pl.when(i + 1 < nslab)
+            def _():
+                for cp in scp(i + 1, 0, pn):
+                    cp.start()
+
+        for cp in scp(i, q, p):
+            cp.wait()
+        if q == 0:
+            for a in range(3):
+                sacc[a] = sb[p, a]
+        elif q <= m:
+            for a in range(3):
+                sacc[a] = sacc[a] + coeffs_smem[q - 1] * sb[p, a]
+        # else: the body-force stream stays resident in buffer p — the
+        # next DMA (slab i+1's stream 0) targets the OTHER buffer and
+        # the tail below runs before any further issue touches p
+
+    p_bf = (base_par + nst - 1) % 2
+
+    def at(a, lo_sh, hi_off):
+        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+
+    _stage_tail(
+        at, coeffs_smem, None, None,
+        k_out, ut_out, divhat_out, usnew_out,
+        vinvy_hbm, vinvzT_hbm,
+        visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
+        emit_k=emit_k, with_usnew=with_usnew,
+        bf=(lambda a: sb[p_bf, a]) if with_bf else None,
+        acc=(lambda a: sacc[a]),
+    )
+
+
 def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
-    emit_k=True, usnew_coeff=None, bodyforce=None,
+    emit_k=True, usnew_coeff=None, bodyforce=None, stream_accum=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -798,7 +947,13 @@ def momentum_stage_divhat_3d(
     `poisson passB` and `pressure_correct_qhat_3d` the entire pressure
     projection costs a single standalone HBM pass (reference flow:
     momentum! + tableau axpy sweeps + psolver,
-    step_explicit_runge_kutta.jl:36-50)."""
+    step_explicit_runge_kutta.jl:36-50).
+
+    ``stream_accum``: fold tableau streams sequentially through one
+    ping-pong buffer (`_msd_hat_stream_kernel`) instead of prefetching
+    all of them — VMEM flat in the stream count, so deep tableau rows
+    keep a deep slab (bx) at 512^3.  Default (None): auto — streaming
+    whenever it allows a deeper slab than full prefetch."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -810,13 +965,22 @@ def momentum_stage_divhat_3d(
     if with_bf:
         streams = streams + (bodyforce,)
     vol = float(np.prod(dxs))
+    with_usnew = usnew_coeff is not None
+    # streaming accumulation keeps VMEM flat in the stream count: pick
+    # it whenever that buys a deeper slab (512^3 deep rows: bx 1 -> 2;
+    # 256^3: 4 -> 8)
+    bx_full = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b)
+    bx_stream = _pick_bx(n, lambda b: 6 * (b + 3) + 9 * (b + 1) + 14 * b)
+    if stream_accum is None:
+        stream_accum = nst >= 2 and bx_stream > bx_full
+    if stream_accum and with_usnew:
+        assert m == 0, "streaming usnew needs acc == ustart (m == 0)"
     if bx is None:
-        bx = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b)
+        bx = bx_stream if stream_accum else bx_full
     while n % bx != 0:
         bx //= 2
-    with_usnew = usnew_coeff is not None
     kernel = functools.partial(
-        _msd_hat_kernel,
+        _msd_hat_stream_kernel if stream_accum else _msd_hat_kernel,
         visc=float(visc),
         dx=tuple(map(float, dxs)),
         vol=vol,
@@ -860,16 +1024,372 @@ def momentum_stage_divhat_3d(
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
-            pltpu.VMEM((2, nst, 3, bx + 1, n, n), u_int.dtype),
-            pltpu.SemaphoreType.DMA((2, 4 + 2 * nst)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
+                pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
+                pltpu.VMEM((3, bx + 1, n, n), u_int.dtype),
+                pltpu.SemaphoreType.DMA((2, 6)),
+            ]
+            if stream_accum
+            else [
+                pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
+                pltpu.VMEM((2, nst, 3, bx + 1, n, n), u_int.dtype),
+                pltpu.SemaphoreType.DMA((2, 4 + 2 * nst)),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(coeff_arr, u_int, *streams, vinvy, vinvzT)
+
+
+def _seg_window_copy(main, lo, hi, dst, sems, sem0, j, nslab, *, bx, nlo, nhi,
+                     lx):
+    """Start/wait helpers for a segmented x-window DMA: the window
+    [j*bx - nlo, j*bx + bx + nhi) of a shard-local array is assembled
+    from up to three sources — `lo` (the left neighbour's ghost planes,
+    used only by the FIRST block), `main`, and `hi` (right neighbour's,
+    LAST block only).  Every branch signals the same semaphores with the
+    same byte counts, so waits are branch-free.
+
+    `main`/`lo`/`hi` are HBM refs whose x dim is the SECOND-to-leading
+    (component-major (3, lx, ny, nz)) or leading ((lx, ny, nz)) — pass
+    accessors `at_x(ref, start, size)` via closure instead?  Keeping it
+    simple: refs here are pre-bound `.at`-style callables."""
+    start = j * bx
+    pltpu.make_async_copy(main(start, bx), dst(nlo, bx), sems.at[sem0]).start()
+    if nlo:
+        lo_sem = sems.at[sem0 + 1]
+
+        @pl.when(j == 0)
+        def _():
+            pltpu.make_async_copy(lo(0, nlo), dst(0, nlo), lo_sem).start()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                main(jnp.maximum(start - nlo, 0), nlo), dst(0, nlo), lo_sem
+            ).start()
+
+    if nhi:
+        hi_sem = sems.at[sem0 + 2 if nlo else sem0 + 1]
+
+        @pl.when(j == nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                hi(0, nhi), dst(nlo + bx, nhi), hi_sem
+            ).start()
+
+        @pl.when(j < nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                main(jnp.minimum(start + bx, lx - nhi), nhi),
+                dst(nlo + bx, nhi), hi_sem,
+            ).start()
+
+
+def _msd_hat_halo_kernel(
+    coeffs_smem, u_hbm, u_lo, u_hi, *args,
+    visc, dx, vol, bx, lx, manualhigh, m, emit_k=True, with_usnew=False,
+    with_bf=False,
+):
+    """Per-shard `_msd_hat_kernel`: identical stage tail, but the x-slab
+    shard's ghost planes arrive as SEPARATE small arrays (`u_lo`: the
+    left ring neighbour's last 2 planes, `u_hi`: the right neighbour's
+    first plane; 1 lower plane per stream) DMA'd straight into the
+    scratch window edges — the local fields are never concat-padded in
+    HBM, so the halo step costs exactly the single-chip kernel's HBM
+    traffic plus the ppermute of the boundary planes."""
+    nst = m + 1 + with_bf
+    streams = args[:nst]              # ustart, k_1..k_m [, bodyforce]
+    streams_lo = args[nst : 2 * nst]  # their 1-plane lower ghosts
+    vinvy_hbm = args[2 * nst]
+    vinvzT_hbm = args[2 * nst + 1]
+    outs = list(args[2 * nst + 2 : 2 * nst + 2 + emit_k + 2 + with_usnew])
+    rest = args[2 * nst + 2 + emit_k + 2 + with_usnew :]
+    k_out = outs.pop(0) if emit_k else None
+    ut_out = outs.pop(0)
+    divhat_out = outs.pop(0)
+    usnew_out = outs.pop(0) if with_usnew else None
+    su, sb, sems = rest
+
+    i = pl.program_id(0)
+    nslab = pl.num_programs(0)
+    slot = i % 2
+
+    def issue(j, s):
+        _seg_window_copy(
+            lambda st, sz: u_hbm.at[:, pl.ds(st, sz)],
+            lambda st, sz: u_lo.at[:, pl.ds(st, sz)],
+            lambda st, sz: u_hi.at[:, pl.ds(st, sz)],
+            lambda off, sz: su.at[s, :, pl.ds(off, sz)],
+            sems.at[s], 0, j, nslab, bx=bx, nlo=2, nhi=1, lx=lx,
+        )
+        for q in range(nst):
+            _seg_window_copy(
+                lambda st, sz, q=q: streams[q].at[:, pl.ds(st, sz)],
+                lambda st, sz, q=q: streams_lo[q].at[:, pl.ds(st, sz)],
+                None,
+                lambda off, sz, q=q: sb.at[s, q, :, pl.ds(off, sz)],
+                sems.at[s], 3 + 2 * q, j, nslab, bx=bx, nlo=1, nhi=0, lx=lx,
+            )
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    # waits: every branch signaled the same sems with the same sizes, so
+    # re-issuing descriptors just for .wait() is branch-free
+    start = i * bx
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(start, bx)], su.at[slot, :, pl.ds(2, bx)],
+        sems.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(0, 2)], su.at[slot, :, pl.ds(0, 2)],
+        sems.at[slot, 1],
+    ).wait()
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(0, 1)], su.at[slot, :, pl.ds(bx + 2, 1)],
+        sems.at[slot, 2],
+    ).wait()
+    for q in range(nst):
+        pltpu.make_async_copy(
+            streams[q].at[:, pl.ds(start, bx)],
+            sb.at[slot, q, :, pl.ds(1, bx)], sems.at[slot, 3 + 2 * q],
+        ).wait()
+        pltpu.make_async_copy(
+            streams[q].at[:, pl.ds(0, 1)],
+            sb.at[slot, q, :, pl.ds(0, 1)], sems.at[slot, 4 + 2 * q],
+        ).wait()
+
+    def at(a, lo_sh, hi_off):
+        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+
+    _stage_tail(
+        at, coeffs_smem, sb, slot,
+        k_out, ut_out, divhat_out, usnew_out,
+        vinvy_hbm, vinvzT_hbm,
+        visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
+        emit_k=emit_k, with_usnew=with_usnew,
+        bf=(lambda a: sb[slot, m + 1, a]) if with_bf else None,
+    )
+
+
+def momentum_stage_divhat_halo_3d(
+    u_loc, u_lo, u_hi, streams, streams_lo, coeffs, visc, dxs, vinvy, vinvzT,
+    *, precision="manualhigh", bx=None, interpret=False,
+    emit_k=True, usnew_coeff=None, bodyforce=None, bodyforce_lo=None,
+):
+    """`momentum_stage_divhat_3d` on an x-slab shard block with
+    segmented halo DMAs.
+
+    ``u_loc``: (3, lx, ny, nz) local block; ``u_lo`` (3, 2, ny, nz) /
+    ``u_hi`` (3, 1, ny, nz): the ring neighbours' boundary planes
+    (ppermute'd by `parallel/halo.py`).  ``streams``: each
+    (3, lx, ny, nz) with its 1-plane lower ghost in ``streams_lo``;
+    ``bodyforce``/``bodyforce_lo`` likewise.  Outputs are exact local
+    extent — no edge planes to discard and NO concat-padding in HBM.
+    ny == nz is the global cube extent (unsharded on x-slabs), so the
+    z/y forward transform is shard-local and exact."""
+    D, lx, ny, nz = u_loc.shape
+    assert D == 3 and ny == nz and lx >= 2 and lx % 2 == 0
+    assert u_lo.shape == (3, 2, ny, nz) and u_hi.shape == (3, 1, ny, nz)
+    streams = tuple(streams)
+    streams_lo = tuple(streams_lo)
+    coeffs = tuple(coeffs)
+    m = len(streams) - 1
+    assert len(coeffs) == m + 1 and len(streams_lo) == m + 1
+    for st in streams:
+        assert st.shape == (3, lx, ny, nz), (st.shape, lx)
+    with_bf = bodyforce is not None
+    nst = m + 1 + with_bf
+    if with_bf:
+        streams = streams + (bodyforce,)
+        streams_lo = streams_lo + (bodyforce_lo,)
+    vol = float(np.prod(dxs))
+    if bx is None:
+        bx = _pick_bx(lx, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b,
+                      ny * nz)
+    while lx % bx != 0:
+        bx //= 2
+    # the lo segment reads main planes [start-2, start): needs bx >= 2
+    bx = max(bx, 2)
+    with_usnew = usnew_coeff is not None
+    kernel = functools.partial(
+        _msd_hat_halo_kernel,
+        visc=float(visc),
+        dx=tuple(map(float, dxs)),
+        vol=vol,
+        bx=bx,
+        lx=lx,
+        manualhigh=(precision == "manualhigh"),
+        m=m,
+        emit_k=emit_k,
+        with_usnew=with_usnew,
+        with_bf=with_bf,
+    )
+    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    coeff_arr = jnp.stack(
+        [jnp.asarray(c, u_loc.dtype) for c in all_coeffs]
+    ).reshape(len(all_coeffs))
+    vec_spec = pl.BlockSpec(
+        (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca_spec = pl.BlockSpec(
+        (bx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_shape = jax.ShapeDtypeStruct((3, lx, ny, nz), u_loc.dtype)
+    out_specs = (
+        ([vec_spec] if emit_k else [])
+        + [vec_spec, sca_spec]
+        + ([vec_spec] if with_usnew else [])
+    )
+    out_shape = (
+        ([vec_shape] if emit_k else [])
+        + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), u_loc.dtype)]
+        + ([vec_shape] if with_usnew else [])
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(lx // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 + 2 * nst)
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 3, ny, nz), u_loc.dtype),
+            pltpu.VMEM((2, nst, 3, bx + 1, ny, nz), u_loc.dtype),
+            pltpu.SemaphoreType.DMA((2, 3 + 2 * nst)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(coeff_arr, u_loc, u_lo, u_hi, *streams, *streams_lo, vinvy, vinvzT)
+
+
+def _pc_qhat_halo_kernel(
+    ut_hbm, qhat_hbm, qhat_hi, vy_hbm, vzT_hbm, u_out, su, sq, sems,
+    *, dx, bx, lx, manualhigh,
+):
+    """Per-shard `_pc_qhat_kernel`: the 1 upper x-ghost plane of qhat
+    (the neighbour's first plane, already in the z/y eigen-basis — the
+    transform is per-x-plane so halo exchange commutes with it) arrives
+    as a separate 1-plane array DMA'd into the scratch window edge
+    (segmented copies, no concat-padding)."""
+    i = pl.program_id(0)
+    nslab = pl.num_programs(0)
+    slot = i % 2
+
+    def issue(j, s):
+        start = j * bx
+        pltpu.make_async_copy(
+            ut_hbm.at[:, pl.ds(start, bx)], su.at[s], sems.at[s, 0]
+        ).start()
+        _seg_window_copy(
+            lambda st, sz: qhat_hbm.at[pl.ds(st, sz)],
+            None,
+            lambda st, sz: qhat_hi.at[pl.ds(st, sz)],
+            lambda off, sz: sq.at[s, pl.ds(off, sz)],
+            sems.at[s], 1, j, nslab, bx=bx, nlo=0, nhi=1, lx=lx,
+        )
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    start = i * bx
+    pltpu.make_async_copy(
+        ut_hbm.at[:, pl.ds(start, bx)], su.at[slot], sems.at[slot, 0]
+    ).wait()
+    pltpu.make_async_copy(
+        qhat_hbm.at[pl.ds(start, bx)], sq.at[slot, pl.ds(0, bx)],
+        sems.at[slot, 1],
+    ).wait()
+    pltpu.make_async_copy(
+        qhat_hbm.at[pl.ds(0, 1)], sq.at[slot, pl.ds(bx, 1)],
+        sems.at[slot, 2],
+    ).wait()
+
+    vy_s = _prep_mat(vy_hbm, manualhigh)
+    vzT_s = _prep_mat(vzT_hbm, manualhigh)
+    qplanes = []
+    for p in range(bx + 1):
+        t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
+        qplanes.append(_mm_h(t, vzT_s, manualhigh))
+    qw = jnp.stack(qplanes)  # (bx+1, ny, nz)
+
+    qc = qw[:bx]
+    for a in range(3):
+        if a == 0:
+            g = (qw[1:] - qw[:-1]) / dx[0]
+        else:
+            g = (_rp(qc, a) - qc) / dx[a]
+        u_out[a, :, :, :] = su[slot, a] - g
+
+
+def pressure_correct_qhat_halo_3d(
+    ut_loc, qhat_loc, qhat_hi, dxs, vy, vzT, *, precision="manualhigh",
+    bx=None, interpret=False,
+):
+    """`pressure_correct_qhat_3d` on an x-slab shard block: ``ut_loc``
+    (3, lx, ny, nz) and ``qhat_loc`` (lx, ny, nz) unpadded;
+    ``qhat_hi`` (1, ny, nz) is the right neighbour's first qhat plane.
+    Output (3, lx, ny, nz)."""
+    D, lx, ny, nz = ut_loc.shape
+    assert D == 3 and ny == nz
+    assert qhat_loc.shape == (lx, ny, nz)
+    assert qhat_hi.shape == (1, ny, nz)
+    if bx is None:
+        bx = _pick_bx(lx, lambda b: 14 * b + 2, ny * nz)
+    while lx % bx != 0:
+        bx //= 2
+    kernel = functools.partial(
+        _pc_qhat_halo_kernel,
+        dx=tuple(map(float, dxs)),
+        bx=bx,
+        lx=lx,
+        manualhigh=(precision == "manualhigh"),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(lx // bx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, lx, ny, nz), ut_loc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx, ny, nz), ut_loc.dtype),
+            pltpu.VMEM((2, bx + 1, ny, nz), ut_loc.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ut_loc, qhat_loc, qhat_hi, vy, vzT)
 
 
 def _smag_force_kernel(
@@ -952,7 +1472,20 @@ def _smag_force_kernel(
     uy = su[slot, 1]
     uz = su[slot, 2]
     th = theta_smem[0]
+    cx, cy, cz = _smag_body(ux, uy, uz, th, dx=dx, d2=d2, bx=bx, w=w)
+    if with_bf:
+        cx = cx + sbf[slot, 0]
+        cy = cy + sbf[slot, 1]
+        cz = cz + sbf[slot, 2]
+    out_ref[0, :, :, :] = cx
+    out_ref[1, :, :, :] = cy
+    out_ref[2, :, :, :] = cz
 
+
+def _smag_body(ux, uy, uz, th, *, dx, d2, bx, w):
+    """Shared Smagorinsky force body on a (w = bx+4)-plane x-window
+    (local l <-> global start - 2 + l); returns the force components on
+    the center bx planes."""
     # strain components (x-index conventions in the comments: [l] is the
     # natural staggered position's x-plane)
     sxx = (ux[1:] - ux[:-1]) / dx[0]  # [i] <-> S_xx[l=i+1]
@@ -1022,6 +1555,67 @@ def _smag_force_kernel(
     cz = (sigxz[1 : bx + 1] - sigxz[:bx]) / dx[0]
     cz += (sigyz - _rm(sigyz, 1))[1 : bx + 1] / dx[1]
     cz += (_rp(sigzz, 2) - sigzz)[1 : bx + 1] / dx[2]
+    return cx, cy, cz
+
+
+def _smag_force_halo_kernel(
+    theta_smem, u_hbm, u_lo, u_hi, *args, dx, d2, bx, lx, with_bf,
+):
+    """Per-shard `_smag_force_kernel`: the 2 x-ghost planes each side
+    arrive as separate small arrays (ring-neighbour values) DMA'd into
+    the scratch window edges (segmented copies, no concat-padding)."""
+    if with_bf:
+        bf_hbm = args[0]
+        args = args[1:]
+    out_ref, su, sbf, sems = args
+
+    i = pl.program_id(0)
+    nslab = pl.num_programs(0)
+    slot = i % 2
+
+    def issue(j, s):
+        _seg_window_copy(
+            lambda st, sz: u_hbm.at[:, pl.ds(st, sz)],
+            lambda st, sz: u_lo.at[:, pl.ds(st, sz)],
+            lambda st, sz: u_hi.at[:, pl.ds(st, sz)],
+            lambda off, sz: su.at[s, :, pl.ds(off, sz)],
+            sems.at[s], 0, j, nslab, bx=bx, nlo=2, nhi=2, lx=lx,
+        )
+        if with_bf:
+            pltpu.make_async_copy(
+                bf_hbm.at[:, pl.ds(j * bx, bx)], sbf.at[s], sems.at[s, 3]
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        issue(i + 1, (i + 1) % 2)
+
+    start = i * bx
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(start, bx)], su.at[slot, :, pl.ds(2, bx)],
+        sems.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(0, 2)], su.at[slot, :, pl.ds(0, 2)],
+        sems.at[slot, 1],
+    ).wait()
+    pltpu.make_async_copy(
+        u_hbm.at[:, pl.ds(0, 2)], su.at[slot, :, pl.ds(bx + 2, 2)],
+        sems.at[slot, 2],
+    ).wait()
+    if with_bf:
+        pltpu.make_async_copy(
+            bf_hbm.at[:, pl.ds(start, bx)], sbf.at[slot], sems.at[slot, 3]
+        ).wait()
+
+    cx, cy, cz = _smag_body(
+        su[slot, 0], su[slot, 1], su[slot, 2], theta_smem[0],
+        dx=dx, d2=d2, bx=bx, w=bx + 4,
+    )
     if with_bf:
         cx = cx + sbf[slot, 0]
         cy = cy + sbf[slot, 1]
@@ -1029,6 +1623,55 @@ def _smag_force_kernel(
     out_ref[0, :, :, :] = cx
     out_ref[1, :, :, :] = cy
     out_ref[2, :, :, :] = cz
+
+
+def smagorinsky_force_halo_3d(
+    u_loc, u_lo, u_hi, theta, dxs, *, bodyforce=None, bx=None,
+    interpret=False
+):
+    """`smagorinsky_force_3d` on an x-slab shard block: ``u_loc``
+    (3, lx, ny, nz) unpadded; ``u_lo``/``u_hi`` (3, 2, ny, nz) are the
+    ring neighbours' boundary planes; ``bodyforce`` (optional, steady)
+    is the unpadded local block.  Output (3, lx, ny, nz)."""
+    D, lx, ny, nz = u_loc.shape
+    assert D == 3 and lx >= 2 and lx % 2 == 0
+    assert u_lo.shape == (3, 2, ny, nz) and u_hi.shape == (3, 2, ny, nz)
+    d2 = float(sum(dx * dx for dx in dxs))
+    with_bf = bodyforce is not None
+    if bx is None:
+        bx = _pick_bx(lx, lambda b: 50 * b + 150, ny * nz)
+    while lx % bx != 0:
+        bx //= 2
+    bx = max(bx, 2)  # the lo/hi segments read 2 main planes
+    kernel = functools.partial(
+        _smag_force_halo_kernel,
+        dx=tuple(map(float, dxs)),
+        d2=d2,
+        bx=bx,
+        lx=lx,
+        with_bf=with_bf,
+    )
+    theta_arr = jnp.reshape(theta, (1,)).astype(u_loc.dtype)
+    args = [theta_arr, u_loc, u_lo, u_hi] + ([bodyforce] if with_bf else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(lx // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 + with_bf),
+        out_specs=pl.BlockSpec(
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, lx, ny, nz), u_loc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + 4, ny, nz), u_loc.dtype),
+            pltpu.VMEM((2, 3, bx, ny, nz), u_loc.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
 
 
 def smagorinsky_force_3d(

@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dft import fourier_eigenbasis
 
-__all__ = ["poisson_pallas_supported", "make_poisson_pallas"]
+__all__ = [
+    "poisson_pallas_supported",
+    "make_poisson_pallas",
+    "make_fused_projection",
+    "make_passB_sharded",
+]
 
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
@@ -85,17 +90,17 @@ def _passA_kernel(f_ref, vinvy_ref, vinvzT_ref, out_ref, *, bx, n, prec):
         out_ref[xi, :, :] = _dot_h(vinvy_ref[...], t[xi], prec)
 
 
-def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
-                  *, by, n, prec, eps, dxs, vol):
+def _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, iy0,
+                *, by, n, prec, eps, dxs, vol):
     """x-forward, eigen-scale, x-inverse.  The eigenvalue denominator is
     generated in-kernel from its closed form (a precomputed (n,n,n)
     constant would bloat the compile payload by n^3*4 bytes — 512 MB at
-    512^3 — and cost an extra HBM read per solve).
+    512^3 — and cost an extra HBM read per solve).  ``iy0`` is the
+    block's global y index offset (traced when the y axis is sharded).
 
     Eigenbasis ordering (ops/dft.py `fourier_eigenbasis`): columns are
     [const, cos_1, sin_1, ..., cos_k, sin_k, ..., Nyquist], so the
     eigenvalue at index k is -4 sin^2(pi*ceil(k/2)/n)/dx^2."""
-    j = pl.program_id(0)
     dn = (((1,), (0,)), ((), ()))
     g = _dot_h(vinvx_ref[...], h_ref[...], prec, dn)
 
@@ -106,7 +111,7 @@ def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
 
     shape = (n, by, n)
     ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * by
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + iy0
     iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     den = vol * (lam(ix, 0) + lam(iy, 1) + lam(iz, 2))
     inv = jnp.where(
@@ -114,6 +119,22 @@ def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
     )
     g = g * inv
     out_ref[...] = _dot_h(vx_ref[...], g, prec, dn)
+
+
+def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
+                  *, by, n, prec, eps, dxs, vol):
+    j = pl.program_id(0)
+    _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, j * by,
+                by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol)
+
+
+def _passB_yoff_kernel(yoff_smem, h_ref, vinvx_ref, vx_ref, out_ref,
+                       *, by, n, prec, eps, dxs, vol):
+    """Sharded-y pass B: the block's global y offset is the traced shard
+    offset (SMEM) plus the grid position."""
+    j = pl.program_id(0)
+    _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, j * by + yoff_smem[0],
+                by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol)
 
 
 def _passC_kernel(h_ref, vy_ref, vzT_ref, out_ref, *, bx, n, prec):
@@ -255,6 +276,58 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
     )
     return {
         "passB": lambda h: passB(h, Vinv, V),
+        "Vinv": Vinv,
+        "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
+        "V": V,
+        "VT": jnp.asarray(np.asarray(V).T, dtype),
+    }
+
+
+def make_passB_sharded(Np, dxs, dtype, ly, *, precision="manualhigh", by=8,
+                       interpret=False):
+    """Pass B for an x-slab-sharded fused projection (`parallel/halo.py`):
+    after an all_to_all x<->y transpose each shard holds a
+    (n, ly, n) y-slice of divhat with FULL x, so the x-forward /
+    eigen-scale / x-inverse runs shard-locally — only the y index offset
+    of the eigenvalue denominator depends on the shard, passed traced
+    (`yoff`, typically ``axis_index('x') * ly``).
+
+    Returns dict: `passB(h_local, yoff) -> qhat_local` plus the z/y
+    transform matrices for the fused stage/correction kernels."""
+    assert len(Np) == 3 and Np[0] == Np[1] == Np[2], Np
+    n = Np[0]
+    while ly % by != 0:
+        by //= 2
+    V, Vinv, eps = poisson_eigen_consts(Np, dxs, dtype)
+    vol = float(np.prod(dxs))
+    prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
+    mm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    passB = pl.pallas_call(
+        functools.partial(
+            _passB_yoff_kernel, by=by, n=n, prec=prec, eps=eps,
+            dxs=tuple(map(float, dxs)), vol=vol,
+        ),
+        grid=(ly // by,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
+            mm,
+            mm,
+        ],
+        out_specs=pl.BlockSpec(
+            (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, ly, n), dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+
+    def solve(h_local, yoff):
+        yoff_arr = jnp.reshape(yoff, (1,)).astype(jnp.int32)
+        return passB(yoff_arr, h_local, Vinv, V)
+
+    return {
+        "passB": solve,
         "Vinv": Vinv,
         "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
         "V": V,

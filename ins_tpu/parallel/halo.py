@@ -10,18 +10,26 @@ uniform fast path, built the way a pod-scale run wants it
 - **halo exchange** of boundary planes with `lax.ppermute` ring shifts
   along every sharded axis (x first, then y, so corner halos ride along
   correctly), replacing the reference's ghost reads at shard edges;
-- **pressure solve** either by a **pencil-decomposed FFT** (local FFTs
-  over unsharded axes, `lax.all_to_all` transposes to localize each
-  sharded axis in turn — the Ulysses-style axis swap) or by **matrix-free
-  CG whose reductions are `lax.psum` over the mesh** and whose Laplacian
-  reads ppermute halos;
-- optional **Boussinesq temperature** coupling (periodic BCs), advanced
-  with the same tableau as the ghosted ERK stepper.
+- **pressure solve** either by the **fused Pallas eigen chain** (x-slab
+  cube: the stage kernel emits z/y-transformed divergence, an
+  `all_to_all` x<->y transpose localizes x for the eigen-scale pass B,
+  and the correction kernel consumes the transposed-back qhat — the
+  multichip twin of the single-chip fused projection), by a
+  **pencil-decomposed FFT** (local FFTs over unsharded axes,
+  `lax.all_to_all` transposes to localize each sharded axis in turn —
+  the Ulysses-style axis swap), or by **matrix-free CG whose reductions
+  are `lax.psum` over the mesh**;
+- optional **Boussinesq temperature** coupling (periodic BCs), a steady
+  **body force**, and the natural-form **Smagorinsky closure** (fused
+  per-shard force kernel), advanced with the same tableau as the
+  single-chip fast path.
 
 Everything runs inside one `shard_map`, so the collective schedule is
-explicit and rides ICI. Reference counterpart: none (single-device);
-capability target per BASELINE.json "weak-scaling linearly to a pod
-slice".
+explicit and rides ICI.  Per-shard hot loops run the same fused Pallas
+kernels as the single-chip fast path (halo-padded local blocks; see
+`ops/pallas_kernels.py` `*_halo_3d`).  Reference counterpart: none
+(single-device); capability target per BASELINE.json "weak-scaling
+linearly to a pod slice".
 """
 
 from __future__ import annotations
@@ -31,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..time_steppers.methods import ExplicitRungeKuttaMethod
+from ..time_steppers.methods import ExplicitRungeKuttaMethod, LMWray3
 from ..time_steppers.step import StepperState
 
 __all__ = ["make_halo_fast_step", "shard_interior", "shard_scalar"]
@@ -66,35 +74,52 @@ def shard_scalar(mesh, s_int):
     return jax.device_put(s_int, NamedSharding(mesh, P(*sp)))
 
 
-def _halo_pad(v, dim, axis_name, nshards):
-    """Pad `dim` of a per-device block with one plane from each ring
-    neighbor along `axis_name` (periodic)."""
+def _halo_pad(v, dim, axis_name, nshards, lo=1, hi=1):
+    """Pad `dim` of a per-device block with `lo` planes from the left
+    ring neighbour and `hi` from the right (periodic)."""
     right_perm = [(i, (i + 1) % nshards) for i in range(nshards)]
     left_perm = [(i, (i - 1) % nshards) for i in range(nshards)]
-    last = jax.lax.slice_in_dim(v, v.shape[dim] - 1, v.shape[dim], axis=dim)
-    first = jax.lax.slice_in_dim(v, 0, 1, axis=dim)
-    from_left = jax.lax.ppermute(last, axis_name, right_perm)
-    from_right = jax.lax.ppermute(first, axis_name, left_perm)
-    return jnp.concatenate([from_left, v, from_right], axis=dim)
+    parts = []
+    if lo:
+        last = jax.lax.slice_in_dim(
+            v, v.shape[dim] - lo, v.shape[dim], axis=dim
+        )
+        parts.append(jax.lax.ppermute(last, axis_name, right_perm))
+    parts.append(v)
+    if hi:
+        first = jax.lax.slice_in_dim(v, 0, hi, axis=dim)
+        parts.append(jax.lax.ppermute(first, axis_name, left_perm))
+    return jnp.concatenate(parts, axis=dim)
 
 
 def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
-                        donate=False, cg_maxiter=None, cg_reltol=None):
+                        donate=False, cg_maxiter=None, cg_reltol=None,
+                        projection_precision="manualhigh",
+                        pallas_interpret=False):
     """Build `step(state, dt, theta=None) -> state` for a 3D uniform
     periodic setup on x-slab (1-D mesh `("x",)`) or x/y-pencil (2-D mesh
     `("x", "y")`) sharded interior fields.
 
-    `psolver`: "pencil" (all_to_all transposed FFT Poisson solve) or
-    "cg" (matrix-free CG with psum-reduced inner products).
+    `psolver`: "pencil" (all_to_all transposed FFT Poisson solve — on
+    x-slab cube grids with Pallas support this upgrades to the fused
+    eigen chain) or "cg" (matrix-free CG with psum-reduced inner
+    products).
     `donate=False` (default) keeps the input state alive;
     `donate=True` donates `state.u`/`state.temp` for in-place stepping
     (do not reuse a state you stepped from).
-    """
+    `pallas_interpret=True` forces the per-shard Pallas kernels in
+    interpreter mode (virtual-mesh CPU testing of the production path).
+
+    The returned `step` also carries `step.raw(u[, temp][, bf], dt,
+    theta)` — the un-jitted shard_map'd local step and its specs
+    (`step.in_specs` / `step.out_specs` / `step.fixed_args`) so a
+    driver can trace it inside its own jit/scan without nested-donation
+    loss (`solver.solve_unsteady(halo=True)`)."""
     g = setup.grid
     D = g.dim
     assert D == 3, "halo fast path: 3D"
     assert all(g.periodic) and all(g.uniform)
-    assert isinstance(method, ExplicitRungeKuttaMethod)
+    assert isinstance(method, (ExplicitRungeKuttaMethod, LMWray3)), method
     names = mesh.axis_names
     assert names[0] == AXIS
     has_y = AXIS_Y in names
@@ -123,13 +148,38 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             else None
         )
 
-    def pad_all(v, dims):
+    # Steady body force: the interior field rides as an explicit sharded
+    # shard_map input (NOT a closure constant, which GSPMD would
+    # replicate per device).  Unsteady callable forces are not supported
+    # on the halo path.
+    if setup.bodyforce is not None and setup.bodyforce_field is None:
+        raise ValueError(
+            "halo fast path: unsteady callable body forces are not "
+            "supported; precompute a steady field (issteadybodyforce)"
+        )
+    bf_int = None
+    if setup.bodyforce_field is not None:
+        bf_int = setup.bodyforce_field[(slice(None),) + (slice(1, -1),) * 3]
+        bf_int = shard_interior(mesh, bf_int)
+
+    # Closure: only the natural-form Smagorinsky (tagged) runs here, as
+    # the fused per-shard Pallas force kernel.
+    _smag = (
+        getattr(setup.closure_model, "kind", None) == "smagorinsky_natural"
+    )
+    if setup.closure_model is not None and not _smag:
+        raise ValueError(
+            "halo fast path: only the tagged natural-form Smagorinsky "
+            "closure is supported (smagorinsky_closure_natural)"
+        )
+
+    def pad_all(v, dims, ylo=1, yhi=1):
         """Halo-pad spatial dims of a local block; x before y so the
         y-exchange carries the x-halo columns (correct corners)."""
         if 0 in dims:
             v = _halo_pad(v, v.ndim - 3, AXIS, mx)
         if 1 in dims and has_y:
-            v = _halo_pad(v, v.ndim - 2, AXIS_Y, my)
+            v = _halo_pad(v, v.ndim - 2, AXIS_Y, my, ylo, yhi)
         return v
 
     def shift(v, sx, sy, sz):
@@ -145,32 +195,116 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
 
     e = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
 
-    # Per-shard Pallas kernels (x-slab meshes): the periodic slab kernels
-    # run directly on halo-padded local blocks — their modular-x wrap is
-    # only wrong on the two edge planes, which are discarded.  The y/z
-    # extents are unsharded (locally periodic), so the in-VMEM rolls are
-    # exact.  Carries the single-chip fused kernels to pod shards.
+    # ---------------- per-shard Pallas kernel dispatch ----------------
+    # 1-D x-slab meshes: dedicated halo kernels (contiguous non-wrapping
+    # DMAs on ppermute-padded blocks) — incl. the fully-fused stage chain
+    # with in-kernel tableau accumulation and z/y eigen transforms when
+    # the grid is a lane-aligned cube and the solve is eigen-compatible.
+    # 2-D pencil meshes: the single-chip modular kernels run on blocks
+    # padded by 1 in x and 4 in y (4 keeps the sublane extent ly+8
+    # aligned); their periodic wrap is only wrong on the discarded edge
+    # planes/rows.
     from ..ops.pallas_kernels import (
         convdiff_interior_3d,
+        momentum_stage_divhat_halo_3d,
         pressure_correct_3d,
+        pressure_correct_qhat_halo_3d,
+        smagorinsky_force_3d,
+        smagorinsky_force_halo_3d,
         stage_div_3d,
     )
 
-    use_pallas_local = (
-        not has_y
-        and jax.default_backend() == "tpu"
-        and nz % 128 == 0
-        and ny % 8 == 0
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    interp = bool(pallas_interpret)
+    if interp:
+        # interpreter mode (virtual-mesh CPU testing of the production
+        # path): no lane/sublane alignment requirements
+        pallas_ok, align_1d, align_2d, big_1d = True, True, ly >= 4, True
+    else:
+        pallas_ok = on_tpu and nz % 128 == 0
+        align_1d = ny % 8 == 0
+        align_2d = ly % 8 == 0 and ly >= 8
+        big_1d = lx >= 8
+    # the segmented-DMA halo kernels need an even local extent (bx >= 2)
+    align_1d = align_1d and lx % 2 == 0 and lx >= 2
+    use_pallas_local = pallas_ok and not has_y and align_1d
+    use_pallas_2d = pallas_ok and has_y and align_2d
+    use_fused_local = (
+        use_pallas_local
+        and psolver == "pencil"
+        and nx == ny == nz
+        and ny % mx == 0
+        and big_1d
     )
-    if use_pallas_local:
+    if (visc_needed := use_pallas_local or use_pallas_2d):
         visc_static = float(1.0 / np.asarray(setup.Re))
+    del visc_needed
+    if setup.closure_model is not None and not (
+        use_pallas_local or use_pallas_2d
+    ):
+        raise ValueError(
+            "halo fast path: the Smagorinsky closure needs the per-shard "
+            "Pallas path (TPU backend, lane-aligned extents)"
+        )
 
-    def _pad_x(v):
-        return _halo_pad(v, v.ndim - 3, AXIS, mx)
+    kw = dict(interpret=interp) if interp else {}
+
+    def _pad_x(v, lo=1, hi=1):
+        return _halo_pad(v, v.ndim - 3, AXIS, mx, lo, hi)
+
+    _right_perm = [(i, (i + 1) % mx) for i in range(mx)]
+    _left_perm = [(i, (i - 1) % mx) for i in range(mx)]
+
+    def _x_lo(v, k):
+        """The left ring neighbour's last k x-planes (lower ghosts)."""
+        dim = v.ndim - 3
+        sl = jax.lax.slice_in_dim(v, v.shape[dim] - k, v.shape[dim], axis=dim)
+        return jax.lax.ppermute(sl, AXIS, _right_perm)
+
+    def _x_hi(v, k):
+        """The right ring neighbour's first k x-planes (upper ghosts)."""
+        dim = v.ndim - 3
+        sl = jax.lax.slice_in_dim(v, 0, k, axis=dim)
+        return jax.lax.ppermute(sl, AXIS, _left_perm)
+
+    def _pad_blk2d(v):
+        """x(1,1) + y(4,4) halo pad for the modular kernels on 2-D
+        meshes (x first so corners ride the y exchange)."""
+        v = _halo_pad(v, v.ndim - 3, AXIS, mx, 1, 1)
+        return _halo_pad(v, v.ndim - 2, AXIS_Y, my, 4, 4)
+
+    def _pad_blk2d_w(v, xlo, xhi):
+        v = _halo_pad(v, v.ndim - 3, AXIS, mx, xlo, xhi)
+        return _halo_pad(v, v.ndim - 2, AXIS_Y, my, 4, 4)
+
+    def smag_force_local(u, theta, bf):
+        """Per-shard natural Smagorinsky force (+ steady body force
+        folded in), matching `ops.pallas_kernels.smagorinsky_force_3d`."""
+        th = jnp.asarray(
+            0.17 if theta is None else theta, dtype
+        )
+        if use_pallas_local:
+            return smagorinsky_force_halo_3d(
+                u, _x_lo(u, 2), _x_hi(u, 2), th, dxs, bodyforce=bf, **kw
+            )
+        # 2-D mesh: modular kernel on an x(2,2)/y(4,4)-padded block,
+        # discarding the wrapped edge planes/rows.
+        f = smagorinsky_force_3d(_pad_blk2d_w(u, 2, 2), th, dxs, **kw)
+        f = f[:, 2:-2, 4:-4]
+        return f if bf is None else f + bf
 
     def convdiff_local(u):
         if use_pallas_local:
-            return convdiff_interior_3d(_pad_x(u), visc_static, dxs)[:, 1:-1]
+            return convdiff_interior_3d(_pad_x(u), visc_static, dxs, **kw)[
+                :, 1:-1
+            ]
+        if use_pallas_2d:
+            return convdiff_interior_3d(
+                _pad_blk2d(u), visc_static, dxs, **kw
+            )[:, 1:-1, 4:-4]
         visc = 1 / setup.Re
         up = [pad_all(u[a], (0, 1)) for a in range(3)]
         F = []
@@ -198,16 +332,41 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             F.append(f)
         return jnp.stack(F)
 
-    def momentum_local(u, temp):
-        F = convdiff_local(u)
+    def buoyancy_force(temp):
+        """alpha2 * face-averaged temperature on the gravity component
+        (reference applybodyforce! temperature term,
+        src/operators.jl:916-931)."""
+        if gdir == 0:
+            tp = _halo_pad(temp, 0, AXIS, mx, 0, 1)
+            tavg = 0.5 * (tp[:-1] + tp[1:])
+        elif gdir == 1 and has_y:
+            tp = _halo_pad(temp, 1, AXIS_Y, my, 0, 1)
+            tavg = 0.5 * (tp[:, :-1] + tp[:, 1:])
+        else:
+            tavg = 0.5 * (temp + jnp.roll(temp, -1, axis=gdir))
+        return tavg
+
+    def force_stream(u, temp, theta, bf):
+        """Per-stage extra force: steady body force + buoyancy +
+        Smagorinsky, combined into one (3, lx, ly, nz) stream (or None).
+        Part of the momentum RHS k."""
+        out = None
+        if _smag:
+            out = smag_force_local(u, theta, bf)  # bf folded in
+        elif bf is not None:
+            out = bf
         if temp is not None:
-            if gdir == 2:
-                tavg = 0.5 * (temp + jnp.roll(temp, -1, axis=2))
+            b = alpha2 * buoyancy_force(temp)
+            if out is None:
+                out = jnp.zeros((3,) + u.shape[1:], u.dtype).at[gdir].set(b)
             else:
-                tp = pad_all(temp, (0, 1))
-                tavg = 0.5 * (shift(tp, 0, 0, 0) + shift(tp, *e[gdir]))
-            F = F.at[gdir].add(alpha2 * tavg)
-        return F
+                out = out.at[gdir].add(b)
+        return out
+
+    def momentum_local(u, temp, theta, bf):
+        F = convdiff_local(u)
+        fs = force_stream(u, temp, theta, bf)
+        return F if fs is None else F + fs
 
     def temp_rhs_local(u, temp):
         """Temperature convection-diffusion (+ optional dissipation) on
@@ -267,6 +426,28 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         inv = -1.0 / den
         inv[0, 0, 0] = 0.0
         return inv
+
+    if use_fused_local:
+        # Fused eigen projection: pass B (x-forward, eigen-scale,
+        # x-inverse) runs on all_to_all-transposed blocks with FULL x —
+        # the multichip twin of poisson_pallas.make_fused_projection.
+        from ..ops.poisson_pallas import make_passB_sharded
+
+        ly2 = ny // mx
+        projd = make_passB_sharded(
+            (nx, ny, nz), dxs, dtype, ly2,
+            precision=projection_precision, interpret=interp,
+        )
+
+        def passB_dist(divhat_local):
+            h = jax.lax.all_to_all(
+                divhat_local, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # (nx, ly2, nz): full x, y-slice [ix*ly2, (ix+1)*ly2)
+            yoff = jax.lax.axis_index(AXIS) * ly2
+            qh = projd["passB"](h, yoff)
+            return jax.lax.all_to_all(
+                qh, AXIS, split_axis=0, concat_axis=1, tiled=True
+            )  # back to (lx, ny, nz)
 
     if psolver == "pencil" and not has_y:
         inv_denom_full = jnp.asarray(_denom((nx, ny, nzh)), dtype)
@@ -414,77 +595,220 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         )
         return u - G
 
-    A, c, ns = method.A, method.c, method.nstage
+    def stage_project(base, k, coeff):
+        """Projected stage update P(base + coeff*k) on the per-op kernel
+        paths (non-fused Pallas) or the shift graph."""
+        if use_pallas_local:
+            ut_p, div_p = stage_div_3d(
+                _pad_x(base), _pad_x(k), coeff, dxs, **kw
+            )
+            p = poisson_local(div_p[1:-1])
+            return pressure_correct_3d(ut_p, _pad_x(p), dxs, **kw)[:, 1:-1]
+        if use_pallas_2d:
+            ut_p, div_p = stage_div_3d(
+                _pad_blk2d(base), _pad_blk2d(k), coeff, dxs, **kw
+            )
+            p = poisson_local(div_p[1:-1, 4:-4])
+            return pressure_correct_3d(
+                ut_p, _pad_blk2d(p), dxs, **kw
+            )[:, 1:-1, 4:-4]
+        return project_local(base + coeff * k)
 
-    def step_local(u, temp, dt):
-        ustart, tstart_ = u, temp
-        ku, kt = [], []
-        for i in range(ns):
-            ku.append(momentum_local(u, temp))
-            if temp is not None:
-                kt.append(temp_rhs_local(u, temp))
-            if use_pallas_local:
-                # fused stage + divergence and fused correction kernels
-                # on halo-padded blocks (edge planes discarded); the halo
-                # planes of ut/q are the neighbours' values, so the
-                # kernels' ghost reads are exact.
-                base = ustart
-                for j in range(i):
-                    if A[i][j] != 0.0:
-                        base = base + dt * A[i][j] * ku[j]
-                ut_p, div_p = stage_div_3d(
-                    _pad_x(base), _pad_x(ku[i]), dt * A[i][i], dxs
-                )
-                p = poisson_local(div_p[1:-1])
-                u = pressure_correct_3d(ut_p, _pad_x(p), dxs)[:, 1:-1]
-            else:
-                u = ustart
-                for j in range(i + 1):
-                    u = u + dt * A[i][j] * ku[j]
-                u = project_local(u)
-            if temp is not None:
-                temp = tstart_
-                for j in range(i + 1):
-                    temp = temp + dt * A[i][j] * kt[j]
-        return u, temp
+    # ---------------- steppers ----------------
+    if use_fused_local:
+        # Fully-fused per-shard chain (the single-chip production path,
+        # carried to shards): momentum + in-kernel tableau accumulation
+        # + divergence + z/y forward transform in ONE HBM pass per
+        # stage, all_to_all'd eigen pass B, then the fused correction
+        # consuming qhat (z/y inverse in-kernel).  Halo ghost planes
+        # replace the single-chip modular wrap.
+        prec = projection_precision
+
+        def fused_stage(u, streams, streams_lo, coeffs, *, force,
+                        emit_k=True, usnew_coeff=None):
+            res = momentum_stage_divhat_halo_3d(
+                u, _x_lo(u, 2), _x_hi(u, 1),
+                streams, streams_lo, coeffs, visc_static, dxs,
+                projd["Vinv"], projd["VinvT"],
+                emit_k=emit_k, usnew_coeff=usnew_coeff,
+                bodyforce=force,
+                bodyforce_lo=(_x_lo(force, 1) if force is not None else None),
+                precision=prec, **kw,
+            )
+            res = list(res)
+            k = res.pop(0) if emit_k else None
+            ut, divhat = res.pop(0), res.pop(0)
+            usnew = res.pop(0) if usnew_coeff is not None else None
+            qhat = passB_dist(divhat)
+            un = pressure_correct_qhat_halo_3d(
+                ut, qhat, _x_hi(qhat, 1), dxs, projd["V"], projd["VT"],
+                precision=prec, **kw,
+            )
+            return k, un, usnew
+
+        if isinstance(method, ExplicitRungeKuttaMethod):
+            A, c, ns = method.A, method.c, method.nstage
+
+            def step_local(u, temp, dt, theta, bf):
+                ustart = u
+                ustart_lo = _x_lo(ustart, 1)
+                tempstart = temp
+                ku, ku_lo, kt = [], [], []
+                for i in range(ns):
+                    streams, streams_lo = [ustart], [ustart_lo]
+                    coeffs = []
+                    for j in range(i):
+                        if A[i][j] != 0.0:
+                            streams.append(ku[j])
+                            streams_lo.append(ku_lo[j])
+                            coeffs.append(dt * A[i][j])
+                    coeffs.append(dt * A[i][i])
+                    if temp is not None:
+                        kt.append(temp_rhs_local(u, temp))
+                    k, u, _ = fused_stage(
+                        u, streams, streams_lo, coeffs,
+                        force=force_stream(u, temp, theta, bf),
+                        emit_k=(i < ns - 1),
+                    )
+                    if k is not None:
+                        ku.append(k)
+                        ku_lo.append(_x_lo(k, 1))
+                    if temp is not None:
+                        temp = tempstart
+                        for j in range(i + 1):
+                            if A[i][j] != 0.0:
+                                temp = temp + dt * A[i][j] * kt[j]
+                return u, temp
+
+        else:  # LMWray3
+            a_, b_, c_ = method.a, method.b, method.c
+            ns = len(a_)
+
+            def step_local(u, temp, dt, theta, bf):
+                ustart = u
+                tempstart = temp
+                for i in range(ns):
+                    dtemp = (
+                        temp_rhs_local(u, temp) if temp is not None else None
+                    )
+                    _, un, usnew = fused_stage(
+                        u, (ustart,), (_x_lo(ustart, 1),), (dt * a_[i],),
+                        force=force_stream(u, temp, theta, bf),
+                        emit_k=False,
+                        usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
+                    )
+                    u = un
+                    if temp is not None:
+                        temp = tempstart + dt * a_[i] * dtemp
+                        if i < ns - 1:
+                            tempstart = tempstart + dt * b_[i] * dtemp
+                    if i < ns - 1:
+                        ustart = usnew
+                return u, temp
+
+    elif isinstance(method, ExplicitRungeKuttaMethod):
+        A, c, ns = method.A, method.c, method.nstage
+
+        def step_local(u, temp, dt, theta, bf):
+            ustart, tstart_ = u, temp
+            ku, kt = [], []
+            for i in range(ns):
+                ku.append(momentum_local(u, temp, theta, bf))
+                if temp is not None:
+                    kt.append(temp_rhs_local(u, temp))
+                if use_pallas_local or use_pallas_2d:
+                    base = ustart
+                    for j in range(i):
+                        if A[i][j] != 0.0:
+                            base = base + dt * A[i][j] * ku[j]
+                    u = stage_project(base, ku[i], dt * A[i][i])
+                else:
+                    u = ustart
+                    for j in range(i + 1):
+                        u = u + dt * A[i][j] * ku[j]
+                    u = project_local(u)
+                if temp is not None:
+                    temp = tstart_
+                    for j in range(i + 1):
+                        temp = temp + dt * A[i][j] * kt[j]
+            return u, temp
+
+    else:  # LMWray3, per-op / shift-graph path
+        a_, b_, c_ = method.a, method.b, method.c
+        ns = len(a_)
+
+        def step_local(u, temp, dt, theta, bf):
+            ustart = u
+            tempstart = temp
+            for i in range(ns):
+                du = momentum_local(u, temp, theta, bf)
+                dtemp = temp_rhs_local(u, temp) if temp is not None else None
+                u = stage_project(ustart, du, dt * a_[i])
+                if temp is not None:
+                    temp = tempstart + dt * a_[i] * dtemp
+                if i < ns - 1:
+                    ustart = ustart + dt * b_[i] * du
+                    if temp is not None:
+                        tempstart = tempstart + dt * b_[i] * dtemp
+            return u, temp
 
     uspec = _specs(mesh, 4)
     names_s = [AXIS, AXIS_Y] if has_y else [AXIS]
     sspec = P(*names_s, *([None] * (3 - len(names_s))))
 
-    if tq is not None:
+    with_temp = tq is not None
+    with_bf = bf_int is not None
 
-        def _stepl(u, temp, dt):
-            return step_local(u, temp, dt)
+    def _stepl(*args):
+        it = iter(args)
+        u = next(it)
+        temp = next(it) if with_temp else None
+        bf = next(it) if with_bf else None
+        dt = next(it)
+        theta = next(it)
+        un, tn = step_local(u, temp, dt, theta, bf)
+        return (un, tn) if with_temp else un
 
-        in_specs = (uspec, sspec, P())
-        out_specs = (uspec, sspec)
-    else:
+    in_specs = (
+        (uspec,)
+        + ((sspec,) if with_temp else ())
+        + ((uspec,) if with_bf else ())
+        + (P(), P())
+    )
+    out_specs = (uspec, sspec) if with_temp else uspec
 
-        def _stepl(u, dt):
-            un, _ = step_local(u, None, dt)
-            return un
-
-        in_specs = (uspec, P())
-        out_specs = uspec
-
-    step_sharded = jax.jit(
+    use_pallas_any = use_pallas_local or use_pallas_2d
+    raw = jax.shard_map(
         # check_vma=False only where required (pallas_call outputs don't
         # carry varying-mesh annotations); pure-collective configs keep
         # the replication checking on so a psum/ppermute mistake errors
         # instead of silently producing wrong per-shard values.
-        jax.shard_map(_stepl, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=not use_pallas_local),
-        donate_argnums=((0, 1) if tq is not None else (0,)) if donate else (),
+        _stepl, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=not use_pallas_any,
     )
+    dargs = ()
+    if donate:
+        dargs = (0, 1) if with_temp else (0,)
+    step_sharded = jax.jit(raw, donate_argnums=dargs)
 
-    def step(state, dt, theta=None):
-        del theta
+    def _call(fn, state, dt, theta):
         dtj = jnp.asarray(dt, dtype)
-        if tq is not None:
-            u, temp = step_sharded(state.u, state.temp, dtj)
-        else:
-            u, temp = step_sharded(state.u, dtj), None
+        thj = jnp.asarray(0.0 if theta is None else theta, dtype)
+        args = (state.u,)
+        if with_temp:
+            args += (state.temp,)
+        if with_bf:
+            args += (bf_int,)
+        out = fn(*args, dtj, thj)
+        u, temp = out if with_temp else (out, None)
         return StepperState(u=u, temp=temp, t=state.t + dt, n=state.n + 1)
 
+    def step(state, dt, theta=None):
+        return _call(step_sharded, state, dt, theta)
+
+    # Driver hooks (`solve_unsteady(halo=True)`): trace the un-jitted
+    # shard_map inside the driver's own jit/scan.
+    step.raw = lambda state, dt, theta=None: _call(raw, state, dt, theta)
+    step.fused = use_fused_local
+    step.pallas = use_pallas_any
     return step

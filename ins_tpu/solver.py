@@ -113,6 +113,8 @@ def solve_unsteady(
     docopy=True,
     max_chunk=256,
     mesh=None,
+    halo=False,
+    halo_psolver="pencil",
     nan_guard=True,
     projection_precision=None,
 ):
@@ -127,11 +129,20 @@ def solve_unsteady(
     GSPMD inserts the halo exchanges / FFT transposes over ICI (the
     reference is single-device; SURVEY.md §2.5).
 
+    `halo=True` (requires `mesh`): step with the explicitly-scheduled
+    shard_map path instead of GSPMD — ppermute halo exchanges, per-shard
+    fused Pallas kernels, all_to_all'd eigen/pencil pressure solve
+    (`parallel/halo.py`), with the full driver feature set (processors,
+    NaN guard, checkpointing, adaptive CFL — whose min-reductions GSPMD
+    lowers to psums over the mesh).  3D uniform periodic only;
+    `halo_psolver`: "pencil" (FFT/eigen) or "cg".
+
     `projection_precision`: eigen-transform precision on the Pallas
     pressure-projection path — "manualhigh" (default, fastest, residual
     ~4e-5) or "highest" (f32-exact); see docs/manual/precision.md.
-    Only the single-chip fast path honors it; setting it explicitly on a
-    path that cannot (GSPMD mesh, ghosted slice graph) warns.
+    The single-chip fast path and the halo path honor it; setting it
+    explicitly on a path that cannot (GSPMD mesh, ghosted slice graph)
+    warns.
 
     `nan_guard`: one cheap `isfinite` reduction per scan chunk (SURVEY
     §5.3). On divergence the run aborts with `SolverDivergedError`
@@ -143,6 +154,8 @@ def solve_unsteady(
     if psolver is None:
         psolver = default_psolver(setup)
     processors = dict(processors or {})
+    if halo and mesh is None:
+        raise ValueError("halo=True requires a mesh")
 
     if docopy:
         # The scan donates state buffers; keep the caller's arrays intact
@@ -151,7 +164,7 @@ def solve_unsteady(
         if tempstart is not None:
             tempstart = jnp.copy(tempstart)
 
-    if mesh is not None:
+    if mesh is not None and not halo:
         from .parallel.mesh import shard_state
 
         ustart, tempstart = shard_state(mesh, ustart, tempstart)
@@ -167,16 +180,33 @@ def solve_unsteady(
             strip_state,
         )
 
-        use_fast = fastpath_applicable(setup, method, psolver)
-        if projection_precision is not None and not use_fast:
+        use_fast = not halo and fastpath_applicable(setup, method, psolver)
+        if projection_precision is not None and not (use_fast or halo):
             import warnings
 
             warnings.warn(
                 "projection_precision is only honored on the single-chip "
-                "fast path; this configuration ignores it",
+                "fast path and the halo path; this configuration ignores "
+                "it",
                 stacklevel=3,
             )
-        if use_fast:
+        if halo:
+            from .parallel.halo import make_halo_fast_step
+
+            halo_step = make_halo_fast_step(
+                setup, method, mesh, psolver=halo_psolver,
+                projection_precision=projection_precision or "manualhigh",
+            )
+
+            def step(s, dtj, th):
+                # un-jitted shard_map body: traced inside the driver's
+                # own jit/scan (nested donation is dropped by jit-of-jit)
+                return halo_step.raw(s, dtj, th)
+
+            strip = jax.jit(strip_state)
+            regh_state = jax.jit(reghost_state)
+            regh = jax.jit(reghost)
+        elif use_fast:
             fast_step = make_fast_timestep(
                 setup,
                 method,
@@ -217,7 +247,8 @@ def solve_unsteady(
             return s
 
         def cfl_u(s):
-            return get_cfl_timestep(regh(s.u) if use_fast else s.u, setup)
+            interior = use_fast or halo
+            return get_cfl_timestep(regh(s.u) if interior else s.u, setup)
 
         # Adaptive stepping fully on-device: a `lax.while_loop` advances up
         # to `max_steps` steps (or until `tend`), recomputing the CFL dt
@@ -249,6 +280,7 @@ def solve_unsteady(
 
         return dict(
             use_fast=use_fast,
+            use_halo=halo,
             strip=strip,
             regh=regh,
             regh_state=regh_state,
@@ -261,13 +293,20 @@ def solve_unsteady(
 
     fns = _get_compiled(
         setup, method, psolver, theta is None, _builder,
-        extra=(projection_precision,),
+        extra=(projection_precision, halo, halo_psolver if halo else None,
+               id(mesh) if halo else None),
     )
     state = fns["make_stepper"](
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)
     )
-    if fns["use_fast"]:
+    if fns["use_fast"] or fns["use_halo"]:
         state = fns["strip"](state)
+        if fns["use_halo"]:
+            from .parallel.halo import shard_interior, shard_scalar
+
+            state = state._replace(u=shard_interior(mesh, state.u))
+            if state.temp is not None:
+                state = state._replace(temp=shard_scalar(mesh, state.temp))
 
         def to_public(s):
             return fns["regh_state"](s)

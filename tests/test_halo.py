@@ -172,6 +172,211 @@ def test_halo_temperature(mshape, dodissipation):
     assert dT < 1e-11, dT
 
 
+def _setup3d_f32(n=32, **kw):
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    return ins.Setup(
+        x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32, **kw
+    )
+
+
+def _fast_ref(setup, u0, T0, method, dt, nsteps):
+    s = StepperState(
+        u=u0, temp=T0, t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0)
+    )
+    fast = make_fast_timestep(setup, method)
+    for _ in range(nsteps):
+        s = fast(s, jnp.asarray(dt, jnp.float32), jnp.asarray(0.17))
+    return s
+
+
+@needs8
+@pytest.mark.parametrize("method", ["rk44", "lmwray3"])
+def test_halo_fused_chain_matches_fastpath(method):
+    """The per-shard FUSED Pallas chain (in-kernel tableau accumulation +
+    z/y eigen transforms, all_to_all'd pass B, fused qhat correction) in
+    interpreter mode == the single-chip fast path (f32)."""
+    n = 32
+    setup = _setup3d_f32(n)
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44() if method == "rk44" else ins.LMWray3()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(7)
+        )
+    )
+    dt = 5e-3
+    s_ref = _fast_ref(setup, u0, None, m, dt, 3)
+
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True, projection_precision="highest"
+    )
+    assert step.fused, "fused chain must be selected on the x-slab cube"
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(3):
+        s = step(s, dt)
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
+
+
+@needs8
+def test_halo_fused_temperature_bodyforce():
+    """Fused halo chain with Boussinesq temperature (+dissipation) and a
+    steady body force == the single-chip fast path (f32)."""
+    n = 32
+    tbc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    te = ins.temperature_equation(
+        Pr=0.71, Ra=1e5, Ge=0.5, dodissipation=True,
+        boundary_conditions=tbc, gdir=2, dtype=jnp.float32,
+    )
+    bodyforce = lambda d, x, y, z, t: (d == 0) * 0.5 * jnp.sin(y)
+    setup = _setup3d_f32(
+        n, temperature=te, bodyforce=bodyforce, issteadybodyforce=True
+    )
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(8)
+        )
+    )
+    g = setup.grid
+    xp = np.meshgrid(
+        *[np.asarray(g.xp[d])[1:-1] for d in range(3)], indexing="ij"
+    )
+    T0 = jnp.asarray(
+        0.1 * np.sin(xp[0]) * np.cos(xp[1]), jnp.float32
+    )
+    dt = 2e-3
+    s_ref = _fast_ref(setup, u0, T0, m, dt, 3)
+
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True, projection_precision="highest"
+    )
+    assert step.fused
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=shard_scalar(mesh, T0),
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(3):
+        s = step(s, dt)
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
+    assert float(jnp.max(jnp.abs(s.temp - s_ref.temp))) < 5e-6
+
+
+@needs8
+def test_halo_fused_smagorinsky():
+    """Fused halo chain with the natural-form Smagorinsky closure (the
+    north-star LES config, sharded) == the single-chip fast path (f32)."""
+    n = 32
+    base = _setup3d_f32(n)
+    setup = _setup3d_f32(
+        n, closure_model=ins.smagorinsky_closure_natural(base)
+    )
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(9)
+        )
+    )
+    dt = 2e-3
+    s_ref = _fast_ref(setup, u0, None, m, dt, 3)
+
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True, projection_precision="highest"
+    )
+    assert step.fused
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(3):
+        s = step(s, dt, theta=jnp.asarray(0.17))
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
+
+
+@needs8
+@pytest.mark.parametrize("mshape", [(2, 2), (2, 4)])
+def test_halo_2d_mesh_pallas(mshape):
+    """Per-shard Pallas kernels on 2-D pencil meshes (x/y halo-padded
+    blocks, wrapped edge planes discarded), interpreter mode == the
+    single-chip fast path (f32)."""
+    n = 32
+    setup = _setup3d_f32(n)
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(10)
+        )
+    )
+    dt = 5e-3
+    s_ref = _fast_ref(setup, u0, None, m, dt, 3)
+
+    ndev = int(np.prod(mshape))
+    mesh = make_mesh(mshape, devices=jax.devices()[:ndev])
+    step = make_halo_fast_step(setup, m, mesh, pallas_interpret=True)
+    assert step.pallas and not step.fused
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(3):
+        s = step(s, dt)
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
+
+
+@needs8
+def test_solve_unsteady_halo_integration():
+    """`solve_unsteady(mesh=..., halo=True)` drives the shard_map halo
+    step with the full driver feature set: processors, NaN guard,
+    adaptive CFL (psum'd min-reductions via GSPMD), and matches the
+    single-device solve."""
+    n = 16
+    setup = _setup3d(n)
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44()
+    ug = ins.random_field(setup, kp=3, psolver=ps, rng=jax.random.PRNGKey(11))
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+
+    # fixed dt + processors
+    s_ref, out_ref = ins.solve_unsteady(
+        setup=setup, ustart=ug, tlims=(0.0, 0.02), dt=2e-3, method=m,
+        psolver=ps, processors={"log": ins.timelogger(nupdate=5)},
+    )
+    s_par, out_par = ins.solve_unsteady(
+        setup=setup, ustart=ug, tlims=(0.0, 0.02), dt=2e-3, method=m,
+        psolver=ps, mesh=mesh, halo=True,
+        processors={"log": ins.timelogger(nupdate=5)},
+    )
+    assert float(jnp.max(jnp.abs(s_par.u - s_ref.u))) < 1e-11
+    # public layout is ghosted and periodic
+    un = np.asarray(s_par.u)
+    np.testing.assert_allclose(un[:, 0], un[:, -2])
+
+    # adaptive CFL stepping (psum'd reductions) reaches tend
+    s_ad, _ = ins.solve_unsteady(
+        setup=setup, ustart=ug, tlims=(0.0, 0.01), method=m,
+        psolver=ps, mesh=mesh, halo=True, cfl=0.5,
+    )
+    assert float(s_ad.t) == pytest.approx(0.01, abs=1e-12)
+    assert bool(jnp.all(jnp.isfinite(s_ad.u)))
+
+    # NaN guard fires with the halo step too
+    with pytest.raises(ins.SolverDivergedError):
+        ins.solve_unsteady(
+            setup=setup, ustart=jnp.full_like(ug, 1e30),
+            tlims=(0.0, 0.02), dt=2e-3, method=m, psolver=ps,
+            mesh=mesh, halo=True,
+        )
+
+
 @needs8
 def test_halo_no_donation_by_default():
     """donate=False (default): the input state stays usable after a step

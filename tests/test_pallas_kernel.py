@@ -330,3 +330,70 @@ def test_smagorinsky_force_kernel_matches_roll_twin():
     bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
     got2 = smagorinsky_force_3d(u, th, dx, bodyforce=bf, interpret=True)
     assert float(jnp.max(jnp.abs(ref + bf - got2))) < 1e-6 * scale
+
+
+def test_momentum_stage_divhat_stream_accum():
+    """Sequential stream accumulation (`_msd_hat_stream_kernel`) ==
+    full-prefetch kernel, for every output combination (incl. a
+    body-force stream and the LMWray3 usnew output)."""
+    from ins_tpu.ops.pallas_kernels import momentum_stage_divhat_3d
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    c1, c2, cn = 0.3, -0.7, 0.11
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    for kwargs in (
+        dict(),
+        dict(bodyforce=bf),
+        dict(emit_k=False),
+        dict(emit_k=False, bodyforce=bf),
+    ):
+        ref = momentum_stage_divhat_3d(
+            u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+            proj["Vinv"], proj["VinvT"], interpret=True,
+            stream_accum=False, **kwargs,
+        )
+        got = momentum_stage_divhat_3d(
+            u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+            proj["Vinv"], proj["VinvT"], interpret=True,
+            stream_accum=True, **kwargs,
+        )
+        for a, b in zip(got, ref):
+            assert float(jnp.max(jnp.abs(a - b))) < 1e-5, kwargs
+
+    # LMWray3 shape: single stream + bf + usnew (acc == ustart)
+    ref = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True, stream_accum=False,
+        emit_k=False, usnew_coeff=0.5, bodyforce=bf,
+    )
+    got = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True, stream_accum=True,
+        emit_k=False, usnew_coeff=0.5, bodyforce=bf,
+    )
+    for a, b in zip(got, ref):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+    # bx=4 (several slabs) exercises the cross-slab ping-pong schedule
+    ref = momentum_stage_divhat_3d(
+        u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+        proj["Vinv"], proj["VinvT"], interpret=True, stream_accum=False,
+        bx=4,
+    )
+    got = momentum_stage_divhat_3d(
+        u, (ustart, k1, k2), (c1, c2, cn), visc, dx,
+        proj["Vinv"], proj["VinvT"], interpret=True, stream_accum=True,
+        bx=4,
+    )
+    for a, b in zip(got, ref):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
