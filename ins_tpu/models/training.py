@@ -219,20 +219,49 @@ def _unrolled_errors(
 
     `remat=True` wraps each solver step in `jax.checkpoint`, trading
     recompute for activation memory — required for long unrolls
-    (SURVEY.md §7 "grad-through-scan memory")."""
+    (SURVEY.md §7 "grad-through-scan memory").
+
+    When the setup qualifies for the ghost-free fast path, the unroll
+    steps through `make_fast_timestep(differentiable=True)` — Pallas
+    forward kernels with custom-VJP roll-twin adjoints (`ops/diffkernels`)
+    instead of the ghosted slice graph, the TPU equivalent of the
+    reference's hand-written Enzyme adjoints for its hot kernels
+    (src/operators.jl:1621-1910)."""
+    from ..ops.fastpath import (
+        fastpath_applicable,
+        make_fast_timestep,
+        strip_ghosts,
+    )
+
     g = setup.grid
     inside = g.Iu[0]
     sl = (slice(None),) + tuple(slice(s, e) for (s, e) in inside)
     nt = u.shape[0]
-    ules = u[0]
+    use_fast = fastpath_applicable(setup, method, psolver)
+    if use_fast:
+        fast_step = make_fast_timestep(setup, method, differentiable=True)
+        # interior-layout state: the ghosted DOF box shifts down by the
+        # one-cell ghost border
+        sl_state = (slice(None),) + tuple(
+            slice(s - 1, e - 1) for (s, e) in inside
+        )
+
+        def one_step(state, dt, theta):
+            return fast_step(state, dt, theta)
+
+        ules = strip_ghosts(u[0])
+    else:
+        sl_state = sl
+
+        def one_step(state, dt, theta):
+            return timestep(
+                method, state, dt, setup=setup, psolver=psolver, theta=theta
+            )
+
+        ules = u[0]
     state = StepperState(
         u=ules, temp=None, t=t[0], n=jnp.asarray(0)
     )
-
-    def one_step(state, dt, theta):
-        return timestep(
-            method, state, dt, setup=setup, psolver=psolver, theta=theta
-        )
 
     if remat:
         one_step = jax.checkpoint(one_step)
@@ -242,7 +271,7 @@ def _unrolled_errors(
         dt = (t[it] - t[it - 1]) / nsubstep
         for _ in range(nsubstep):
             state = one_step(state, dt, theta)
-        a = jnp.sum((state.u[sl] - u[it][sl]) ** 2)
+        a = jnp.sum((state.u[sl_state] - u[it][sl]) ** 2)
         b = jnp.sum(u[it][sl] ** 2)
         total = total + (jnp.sqrt(a / b) if sqrt_each else a / b)
     return total / (nt - 1)

@@ -103,7 +103,8 @@ def _roll_m(v, d):  # v[I - e_d]
     return jnp.roll(v, 1, axis=d)
 
 
-def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
+def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
+                       differentiable=False, pallas_interpret=False):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
     Reproduces the math of the ghosted ERK/LMWray3 steppers (which mirror
@@ -115,6 +116,19 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
     projection residual ~4e-5, fastest) or "highest" (f32-exact,
     residual ~2e-6, ~0.6 ms/solve slower at 256^3).  See
     docs/manual/precision.md.
+
+    ``differentiable=True`` builds a reverse-mode-differentiable step for
+    training unrolls (the reference hand-writes Enzyme adjoints for its
+    hot kernels, src/operators.jl:1621-1910): the per-op Pallas kernels
+    run through their `ops.diffkernels` custom-VJP wrappers (Pallas
+    forward, roll-twin adjoint backward), the Poisson solve uses the
+    natively-differentiable MXU eigen-matmul form, and the fully-fused
+    stage chain (whose in-kernel transforms have no adjoint kernels) is
+    bypassed in favour of the per-op chain (~5% slower forward at 128³).
+
+    ``pallas_interpret=True`` forces the Pallas kernels on (in
+    interpreter mode) regardless of backend — virtual-device CPU testing
+    of the production kernel path.
     """
     g = setup.grid
     D = g.dim
@@ -139,7 +153,12 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         )
 
         use_pallas_poisson = (
-            poisson_pallas_supported(Np) and jax.default_backend() == "tpu"
+            poisson_pallas_supported(Np)
+            and jax.default_backend() == "tpu"
+            # training mode: the eigen-matmul form differentiates
+            # natively (transposed matmuls); the Pallas 3-pass form has
+            # no adjoint kernels
+            and not differentiable
         )
         if use_pallas_poisson:
             poisson_mm = make_poisson_pallas(
@@ -185,9 +204,30 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         stage_div_3d,
     )
 
-    use_pallas = pallas_supported(setup)
+    interp = bool(pallas_interpret)
+    kw = dict(interpret=True) if interp else {}
+    use_pallas = pallas_supported(setup) or (interp and D == 3)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
+        if differentiable:
+            from .diffkernels import (
+                make_convdiff_vjp,
+                make_pressure_correct_vjp,
+                make_stage_div_vjp,
+            )
+
+            _convdiff_k = make_convdiff_vjp(visc_static, dxs, interpret=interp)
+            _stage_div_k = make_stage_div_vjp(dxs, interpret=interp)
+            _pc_k = make_pressure_correct_vjp(dxs, interpret=interp)
+        else:
+            def _convdiff_k(u):
+                return convdiff_interior_3d(u, visc_static, dxs, **kw)
+
+            def _stage_div_k(base, k, coeff):
+                return stage_div_3d(base, k, coeff, dxs, **kw)
+
+            def _pc_k(ut, q):
+                return pressure_correct_3d(ut, q, dxs, **kw)
 
     # Boussinesq temperature (periodic BCs — checked by
     # `fastpath_applicable`): buoyancy in the momentum, temperature
@@ -221,31 +261,16 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         and (setup.closure_model is None or _smag)
         and (_no_bf or bodyforce_int is not None)
         and tq is None
+        and not differentiable
+        and not interp
     )
 
     def convdiff(u):
         if use_pallas:
-            return convdiff_interior_3d(u, visc_static, dxs)
-        visc = 1 / setup.Re
-        F = []
-        for a in range(D):
-            ua = u[a]
-            f = 0.0
-            for b in range(D):
-                upb, umb = _roll_p(ua, b), _roll_m(ua, b)
-                f = f + (visc / dxs[b] ** 2) * (upb - 2.0 * ua + umb)
-                uab1 = 0.5 * (umb + ua)
-                uab2 = 0.5 * (ua + upb)
-                if a == b:
-                    uba1, uba2 = uab1, uab2
-                else:
-                    ub = u[b]
-                    ub_pa = _roll_p(ub, a)
-                    uba1 = 0.5 * (_roll_m(ub, b) + _roll_m(ub_pa, b))
-                    uba2 = 0.5 * (ub + ub_pa)
-                f = f - (uab2 * uba2 - uab1 * uba1) / dxs[b]
-            F.append(f)
-        return jnp.stack(F)
+            return _convdiff_k(u)
+        from .diffkernels import convdiff_roll
+
+        return convdiff_roll(u, 1 / setup.Re, dxs)
 
     def momentum(u, temp, t, theta):
         F = convdiff(u)
@@ -320,8 +345,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh"):
         axpy+divergence and the pressure correction each run as one fused
         HBM pass; otherwise the roll graph."""
         if use_pallas:
-            ut, div = stage_div_3d(base, k, coeff, dxs)
-            return pressure_correct_3d(ut, solve_p(div), dxs)
+            ut, div = _stage_div_k(base, k, coeff)
+            return _pc_k(ut, solve_p(div))
         return project(base + coeff * k)
 
     # Fully-fused projection: the stage kernel emits divhat (z/y-forward
