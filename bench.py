@@ -77,10 +77,14 @@ def run_case(N, nwarm, nstep, method=None, les=False):
     state = scan_steps(state, nstep)
     jax.block_until_ready(state.u)
 
-    t0 = time.perf_counter()
-    state = scan_steps(state, nstep)
-    jax.block_until_ready(state.u)
-    elapsed = time.perf_counter() - t0
+    # Best-of-3: one timed sample is vulnerable to one-off axon-tunnel
+    # stalls (observed 13.9 vs 19.9 ms/step on identical code).
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = scan_steps(state, nstep)
+        jax.block_until_ready(state.u)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     assert bool(jnp.all(jnp.isfinite(state.u))), "NaN in benchmark run"
     cups = N**3 * nstep / elapsed
