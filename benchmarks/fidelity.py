@@ -226,7 +226,7 @@ def main():
         les = les_experiment(n_dns=64, comp=2, tend=0.2, dt=2e-3, Re=2000.0)
     else:
         spec = spectrum_experiment(n=256, tend=0.6, dt=1e-3, Re=1e4)
-        les = les_experiment(n_dns=128, comp=4, tend=0.5, dt=1e-3, Re=4000.0)
+        les = les_experiment(n_dns=256, comp=4, tend=0.5, dt=5e-4, Re=4000.0)
 
     res = dict(spectrum=spec, les=les)
     with open(os.path.join(OUTDIR, "fidelity.json"), "w") as f:
