@@ -2,6 +2,10 @@
 done-bar): jitted grad of create_loss_post (CNN closure, 5-step RK44
 unroll) through the differentiable fast path vs the ghosted slice graph.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import sys
 import time
 

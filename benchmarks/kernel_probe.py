@@ -7,6 +7,10 @@ step-time regressions can be attributed.  Run:
 
     python benchmarks/kernel_probe.py [n] [reps]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import sys
 import time

@@ -4,6 +4,10 @@ precision over 5000 steps of 256^3 decaying turbulence (VERDICT r2 #7).
 Records KE trace + max interior divergence every 100 steps for both
 modes from the same initial field; prints trace divergence stats.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import json
 import sys
 import time

@@ -181,11 +181,11 @@ def test_loss_post_fastpath_grads():
     """`create_loss_post` routes through the differentiable fast path on
     periodic-uniform setups; its theta-gradient matches the ghosted
     slice-graph unroll."""
-    from ins_tpu.models import cnn, create_loss_post
+    from ins_tpu.models import cnn, create_loss_post, wrappedclosure
     from ins_tpu.models.training import _unrolled_errors, _with_closure
 
     setup = _setup3(dtype=jnp.float64)
-    closure, theta0 = cnn(
+    nn_closure, theta0 = cnn(
         setup=setup,
         radii=(2,),
         channels=(3,),
@@ -193,6 +193,10 @@ def test_loss_post_fastpath_grads():
         use_bias=(False,),
         rng=jax.random.PRNGKey(3),
     )
+    # create_loss_post takes a SOLVER-convention closure (ghosted (D, *Np)
+    # fields), per the reference convention (examplerun.jl:104-156 passes
+    # wrappedclosure(closure, setup) as closure_model).
+    closure = wrappedclosure(nn_closure, setup)
     psolver = ins.psolver_spectral(setup)
     method = ins.RKMethods.RK44()
     # tiny two-snapshot trajectory
