@@ -375,20 +375,21 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         return bodyforce_int
 
     def fused_stage(u, streams, coeffs, *, force, emit_k=True,
-                    usnew_coeff=None):
+                    usnew_coeff=None, usnew_base=None):
         """momentum + tableau accumulation + divergence in one kernel
         pass, then the projection: returns (k|None, u_next, usnew|None).
         ``streams`` is (ustart, k_j...) with ``coeffs`` their tableau
         coefficients plus the new k's coefficient last (the base axpy
         never materializes in HBM).  ``force`` is the stage's extra
         force stream (see `stage_force`).  ``emit_k=False`` skips the k
-        write (final stages); ``usnew_coeff`` fuses LMWray3's
-        accumulator update ``ustart + c*k`` as an extra kernel output."""
+        write (final stages); ``usnew_coeff`` fuses the low-storage
+        accumulator update ``base + c*k`` as an extra kernel output
+        (base = ``usnew_base`` if given, else ustart)."""
         res = momentum_stage_divhat_3d(
             u, streams, coeffs, visc_static, dxs,
             proj["Vinv"], proj["VinvT"],
             emit_k=emit_k, usnew_coeff=usnew_coeff,
-            bodyforce=force,
+            bodyforce=force, usnew_base=usnew_base,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -409,13 +410,47 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         # adds (bx+4)/bx transform recompute, so the unmerged chain below
         # is the production path.
 
+        # b-row accumulator: when every intermediate (shifted-tableau)
+        # row's only nonzero is its OWN stage's k — classic RK44 and
+        # friends — the final row ustart + dt*sum_j b_j k_j is built
+        # incrementally as a fused usnew kernel output, so NO stage k
+        # ever round-trips through HBM (emit_k is always False) and the
+        # final stage reads 2 streams instead of ns+1.
+        lowstorage_rows = ns >= 2 and all(
+            A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
+        )
+
         def step(state, dt, theta):
             u, temp, t, n = state
             tstart = t
             ustart = u
             tempstart = temp
             ku, kt = [], []
+            acc = ustart
             for i in range(ns):
+                if use_fused_stage and lowstorage_rows:
+                    t = tstart + c[i] * dt
+                    if i == ns - 1:
+                        _, u, _ = fused_stage(
+                            u, (acc,), (dt * A[i][i],),
+                            force=stage_force(u, theta), emit_k=False,
+                        )
+                    else:
+                        bcoef = A[ns - 1][i]
+                        unc = dt * bcoef if bcoef != 0.0 else None
+                        _, u, usnew = fused_stage(
+                            u, (ustart,), (dt * A[i][i],),
+                            force=stage_force(u, theta), emit_k=False,
+                            usnew_coeff=unc,
+                            usnew_base=(
+                                acc
+                                if unc is not None and acc is not ustart
+                                else None
+                            ),
+                        )
+                        if usnew is not None:
+                            acc = usnew
+                    continue
                 if use_fused_stage:
                     t = tstart + c[i] * dt
                     streams = [ustart]

@@ -636,7 +636,7 @@ def momentum_stage_div_3d(
 def _msd_hat_kernel(
     coeffs_smem, u_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
-    with_bf=False,
+    with_bf=False, with_accbase=False, u_is_stream0=False,
 ):
     """_momentum_stage_div_kernel + in-kernel tableau accumulation +
     z/y forward eigen-transform of the divergence.
@@ -648,112 +648,179 @@ def _msd_hat_kernel(
     Vinv_y @ (div[p] @ Vinv_z^T) per x-plane, so the Poisson solve's
     pass A never re-reads div from HBM.
 
+    Ring-carry slab pipeline: the x-grid is sequential, so window j > 0
+    re-uses its 3 low u planes (and each stream's 1 low plane) from
+    window j-1's just-completed buffer via a VMEM copy instead of
+    re-reading them from HBM — total HBM reads are exactly ONE pass of
+    each field regardless of bx (the (bx+3)/bx ghost re-read factor that
+    dominated at 512^3's bx=2 is gone).
+
     ``emit_k=False`` drops the k output (the final stage's k is never
-    read).  ``with_usnew`` adds output ustart + coeffs[-1]*k (LMWray3's
+    read).  ``with_usnew`` adds output base + coeffs[-1]*k (the
     low-storage accumulator update, fused instead of a separate 3-read
     axpy pass; its coefficient rides at the END of the SMEM array).
     ``with_bf``: a steady body-force field rides as one more DMA stream
-    (slot m+1 of the stream scratch, coefficient 1, part of k)."""
-    nst = m + 1 + with_bf
-    streams = args[:nst]          # ustart, k_1..k_m [, bodyforce]
-    vinvy_hbm = args[nst]
-    vinvzT_hbm = args[nst + 1]
-    outs = list(args[nst + 2 : nst + 2 + emit_k + 2 + with_usnew])
-    rest = args[nst + 2 + emit_k + 2 + with_usnew :]
+    (coefficient 1, part of k).  ``with_accbase``: the usnew base is a
+    SEPARATE stream (the RK b-row accumulator) riding last.
+    ``u_is_stream0``: ustart IS u (stage 0) — its window is read from
+    the u scratch instead of a second DMA stream (m must be 0)."""
+    n_dma = (0 if u_is_stream0 else m + 1) + with_bf + with_accbase
+    streams = args[:n_dma]     # [ustart, k_1..k_m][, bodyforce][, accbase]
+    vinvy_hbm = args[n_dma]
+    vinvzT_hbm = args[n_dma + 1]
+    outs = list(args[n_dma + 2 : n_dma + 2 + emit_k + 2 + with_usnew])
+    rest = args[n_dma + 2 + emit_k + 2 + with_usnew :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
-    su, sb, sems = rest
+    if n_dma:
+        su, sb, sems = rest
+    else:
+        su, sems = rest
+        sb = None
 
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
-        start = j * bx
-        lo1 = (start - 1 + n) % n
-        lo2 = (start - 2 + n) % n
-        hi = (start + bx) % n
+    # Window layout — u: positions [0, bx+2] <-> globals [start-2,
+    # start+bx]; streams: positions [0, bx] <-> globals [start-1,
+    # start+bx-1].
+    def u_full(s):
+        # window 0 (the only one whose low planes wrap)
         cps = [
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start, bx)],
-                su.at[s, :, pl.ds(2, bx)],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(lo1, 1)],
-                su.at[s, :, pl.ds(1, 1)],
-                sems.at[s, 1],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(lo2, 1)],
-                su.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 2],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(hi, 1)],
-                su.at[s, :, pl.ds(bx + 2, 1)],
-                sems.at[s, 3],
-            ),
+                u_hbm.at[:, pl.ds(n - 2, 2)],
+                su.at[s, :, pl.ds(0, 2)], sems.at[s, 0],
+            )
         ]
-        for q, st in enumerate(streams):
-            cps.append(
-                pltpu.make_async_copy(
-                    st.at[:, pl.ds(start, bx)],
-                    sb.at[s, q, :, pl.ds(1, bx)],
-                    sems.at[s, 4 + 2 * q],
-                )
-            )
-            cps.append(
-                pltpu.make_async_copy(
-                    st.at[:, pl.ds(lo1, 1)],
-                    sb.at[s, q, :, pl.ds(0, 1)],
-                    sems.at[s, 5 + 2 * q],
-                )
-            )
+        if nslab == 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx)],
+                su.at[s, :, pl.ds(2, bx)], sems.at[s, 1],
+            ))
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 2],
+            ))
+        else:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx + 1)],
+                su.at[s, :, pl.ds(2, bx + 1)], sems.at[s, 1],
+            ))
         return cps
+
+    def u_part(j, s):
+        # window j > 0: positions 0..2 carried; DMA only the new planes
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start + 1, bx - 1)],
+                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds((start + bx) % n, 1)],
+            su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 1],
+        ))
+        return cps
+
+    def s_full(s):
+        cps = []
+        for q in range(n_dma):
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(0, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 3 + 2 * q],
+            ))
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(n - 1, 1)],
+                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, 4 + 2 * q],
+            ))
+        return cps
+
+    def s_part(j, s):
+        start = j * bx
+        return [
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(start, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 3 + 2 * q],
+            )
+            for q in range(n_dma)
+        ]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in u_full(0) + s_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in u_part(i + 1, 1 - slot) + s_part(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in u_full(0) + s_full(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in u_part(i, slot) + s_part(i, slot):
+            cp.wait()
+
+    # ring carry: seed window i+1's low planes from window i's buffer
+    # (complete after the waits above; the in-flight partial DMAs into
+    # slot 1-slot target disjoint plane ranges)
+    @pl.when(i + 1 < nslab)
+    def _():
+        su[1 - slot, :, 0:3] = su[slot, :, bx : bx + 3]
+        for q in range(n_dma):
+            sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
     def at(a, lo_sh, hi_off):
         return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
+    if u_is_stream0:
+        base = lambda a: su[slot, a, 1 : bx + 2]  # noqa: E731
+        idx_bf = 0
+    else:
+        base = lambda a: sb[slot, 0, a]  # noqa: E731
+        idx_bf = m + 1
+    idx_acc = idx_bf + with_bf
+
     _stage_tail(
-        at, coeffs_smem, sb, slot,
+        at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
-        bf=(lambda a: sb[slot, m + 1, a]) if with_bf else None,
+        base=base,
+        kstream=lambda q, a: sb[slot, q, a],
+        bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
+        usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
     )
 
 
 def _stage_tail(
-    at, coeffs_smem, sb, slot, k_out, ut_out, divhat_out, usnew_out,
+    at, coeffs_smem, k_out, ut_out, divhat_out, usnew_out,
     vinvy_hbm, vinvzT_hbm,
-    *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew, bf=None,
-    acc=None,
+    *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew,
+    base=None, kstream=None, bf=None, acc=None, usnew_base=None,
 ):
     """Shared stage tail: conv-diff on the window, optional k / usnew
     outputs, tableau accumulation, divergence, z/y forward transform.
+    ``base(a)``: accessor for the (bx+1)-plane ustart window;
+    ``kstream(q, a)``: accessor for earlier-stage k windows (q=1..m).
     ``bf``: optional per-component accessor for a steady body-force
     window (added to the momentum eval, so part of k).
     ``acc``: optional per-component accessor for an already-accumulated
     base window (the streaming kernel folds the tableau streams as they
     land instead of holding them all; with ``with_usnew`` the caller
-    guarantees m == 0 so acc IS the ustart window)."""
+    guarantees m == 0 so acc IS the ustart window).
+    ``usnew_base``: optional accessor for a SEPARATE usnew base window
+    (the RK b-row accumulator: usnew = usnew_base + c*k instead of
+    ustart + c*k)."""
     d = None
     for a in range(3):
         f = _convdiff_window(at, visc, dx, a)
@@ -762,15 +829,20 @@ def _stage_tail(
         if emit_k:
             k_out[a, :, :, :] = f[1:]
         if with_usnew:
-            base0 = acc(a) if acc is not None else sb[slot, 0, a]
+            if usnew_base is not None:
+                base0 = usnew_base(a)
+            elif acc is not None:
+                base0 = acc(a)
+            else:
+                base0 = base(a)
             usnew_out[a, :, :, :] = base0[1:] + coeffs_smem[m + 1] * f[1:]
         # tableau accumulation: ustart + sum_j c_j k_j + c_new f
         if acc is not None:
             utw = acc(a)
         else:
-            utw = sb[slot, 0, a]
+            utw = base(a)
             for q in range(1, m + 1):
-                utw = utw + coeffs_smem[q - 1] * sb[slot, q, a]
+                utw = utw + coeffs_smem[q - 1] * kstream(q, a)
         utw = utw + coeffs_smem[m] * f
         ut_c = utw[1:]
         ut_out[a, :, :, :] = ut_c
@@ -915,7 +987,7 @@ def _msd_hat_stream_kernel(
         return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
     _stage_tail(
-        at, coeffs_smem, None, None,
+        at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
@@ -929,6 +1001,7 @@ def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, stream_accum=None,
+    usnew_base=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -953,7 +1026,13 @@ def momentum_stage_divhat_3d(
     ping-pong buffer (`_msd_hat_stream_kernel`) instead of prefetching
     all of them — VMEM flat in the stream count, so deep tableau rows
     keep a deep slab (bx) at 512^3.  Default (None): auto — streaming
-    whenever it allows a deeper slab than full prefetch."""
+    whenever it allows a deeper slab than full prefetch.
+
+    ``usnew_base``: optional field for the usnew output's base (the RK
+    b-row accumulator: usnew = usnew_base + usnew_coeff*k instead of
+    streams[0] + ...), riding as one more DMA stream.  When
+    ``streams == (u_int,)`` (stage 0: ustart IS u) the redundant stream
+    DMA is elided and the base is read from the u window."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -961,24 +1040,46 @@ def momentum_stage_divhat_3d(
     m = len(streams) - 1
     assert len(coeffs) == m + 1
     with_bf = bodyforce is not None
-    nst = m + 1 + with_bf
+    with_accbase = usnew_base is not None
+    assert not (with_accbase and usnew_coeff is None)
+    u_is_stream0 = m == 0 and streams[0] is u_int
+    nst = m + 1 + with_bf + with_accbase
+    dma_streams = () if u_is_stream0 else streams
     if with_bf:
-        streams = streams + (bodyforce,)
+        dma_streams = dma_streams + (bodyforce,)
+    if with_accbase:
+        dma_streams = dma_streams + (usnew_base,)
+    n_dma = len(dma_streams)
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
     # streaming accumulation keeps VMEM flat in the stream count: pick
-    # it whenever that buys a deeper slab (512^3 deep rows: bx 1 -> 2;
-    # 256^3: 4 -> 8)
-    bx_full = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b)
+    # it whenever that buys a deeper slab (deep tableau rows at 512^3;
+    # the ring-carry full-prefetch kernel is otherwise strictly better —
+    # it never re-reads ghost planes)
+    bx_full = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b)
     bx_stream = _pick_bx(n, lambda b: 6 * (b + 3) + 9 * (b + 1) + 14 * b)
     if stream_accum is None:
-        stream_accum = nst >= 2 and bx_stream > bx_full
+        stream_accum = (
+            nst >= 2
+            and bx_stream > bx_full
+            and not (with_accbase or u_is_stream0)
+        )
     if stream_accum and with_usnew:
         assert m == 0, "streaming usnew needs acc == ustart (m == 0)"
+    assert not (stream_accum and (with_accbase or u_is_stream0))
     if bx is None:
         bx = bx_stream if stream_accum else bx_full
     while n % bx != 0:
         bx //= 2
+    kw = (
+        dict(with_bf=with_bf)
+        if stream_accum
+        else dict(
+            with_bf=with_bf,
+            with_accbase=with_accbase,
+            u_is_stream0=u_is_stream0,
+        )
+    )
     kernel = functools.partial(
         _msd_hat_stream_kernel if stream_accum else _msd_hat_kernel,
         visc=float(visc),
@@ -990,7 +1091,7 @@ def momentum_stage_divhat_3d(
         m=m,
         emit_k=emit_k,
         with_usnew=with_usnew,
-        with_bf=with_bf,
+        **kw,
     )
     all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
     coeff_arr = jnp.stack(
@@ -1013,36 +1114,36 @@ def momentum_stage_divhat_3d(
         + [vec_shape, jax.ShapeDtypeStruct((n, n, n), u_int.dtype)]
         + ([vec_shape] if with_usnew else [])
     )
+    if stream_accum:
+        scratch = [
+            pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
+            pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
+            pltpu.VMEM((3, bx + 1, n, n), u_int.dtype),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ]
+    else:
+        scratch = [pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype)]
+        if n_dma:
+            scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, n, n),
+                                      u_int.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA((2, 3 + 2 * n_dma)))
     return pl.pallas_call(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (nst + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_dma + 1)
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=(
-            [
-                pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
-                pltpu.VMEM((2, 3, bx + 1, n, n), u_int.dtype),
-                pltpu.VMEM((3, bx + 1, n, n), u_int.dtype),
-                pltpu.SemaphoreType.DMA((2, 6)),
-            ]
-            if stream_accum
-            else [
-                pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype),
-                pltpu.VMEM((2, nst, 3, bx + 1, n, n), u_int.dtype),
-                pltpu.SemaphoreType.DMA((2, 4 + 2 * nst)),
-            ]
-        ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(coeff_arr, u_int, *streams, vinvy, vinvzT)
+    )(coeff_arr, u_int, *dma_streams, vinvy, vinvzT)
 
 
 def _seg_window_copy(main, lo, hi, dst, sems, sem0, j, nslab, *, bx, nlo, nhi,
@@ -1093,92 +1194,171 @@ def _seg_window_copy(main, lo, hi, dst, sems, sem0, j, nslab, *, bx, nlo, nhi,
 def _msd_hat_halo_kernel(
     coeffs_smem, u_hbm, u_lo, u_hi, *args,
     visc, dx, vol, bx, lx, manualhigh, m, emit_k=True, with_usnew=False,
-    with_bf=False,
+    with_bf=False, with_accbase=False, u_is_stream0=False,
 ):
-    """Per-shard `_msd_hat_kernel`: identical stage tail, but the x-slab
-    shard's ghost planes arrive as SEPARATE small arrays (`u_lo`: the
-    left ring neighbour's last 2 planes, `u_hi`: the right neighbour's
-    first plane; 1 lower plane per stream) DMA'd straight into the
-    scratch window edges — the local fields are never concat-padded in
-    HBM, so the halo step costs exactly the single-chip kernel's HBM
-    traffic plus the ppermute of the boundary planes."""
-    nst = m + 1 + with_bf
-    streams = args[:nst]              # ustart, k_1..k_m [, bodyforce]
-    streams_lo = args[nst : 2 * nst]  # their 1-plane lower ghosts
-    vinvy_hbm = args[2 * nst]
-    vinvzT_hbm = args[2 * nst + 1]
-    outs = list(args[2 * nst + 2 : 2 * nst + 2 + emit_k + 2 + with_usnew])
-    rest = args[2 * nst + 2 + emit_k + 2 + with_usnew :]
+    """Per-shard `_msd_hat_kernel`: identical stage tail and ring-carry
+    slab pipeline, but the x-slab shard's ghost planes arrive as
+    SEPARATE small arrays (`u_lo`: the left ring neighbour's last 2
+    planes, `u_hi`: the right neighbour's first plane; 1 lower plane per
+    stream) DMA'd straight into the scratch window edges — the local
+    fields are never concat-padded in HBM, so the halo step costs
+    exactly the single-chip kernel's HBM traffic plus the ppermute of
+    the boundary planes.  Only window 0 touches the lo arrays (carried
+    thereafter); the hi array is read by the last window only."""
+    n_dma = (0 if u_is_stream0 else m + 1) + with_bf + with_accbase
+    streams = args[:n_dma]       # [ustart, k_1..k_m][, bf][, accbase]
+    streams_lo = args[n_dma : 2 * n_dma]  # their 1-plane lower ghosts
+    vinvy_hbm = args[2 * n_dma]
+    vinvzT_hbm = args[2 * n_dma + 1]
+    outs = list(args[2 * n_dma + 2 : 2 * n_dma + 2 + emit_k + 2 + with_usnew])
+    rest = args[2 * n_dma + 2 + emit_k + 2 + with_usnew :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
-    su, sb, sems = rest
+    if n_dma:
+        su, sb, sems = rest
+    else:
+        su, sems = rest
+        sb = None
 
     i = pl.program_id(0)
-    nslab = pl.num_programs(0)
+    nslab = lx // bx
     slot = i % 2
 
-    def issue(j, s):
-        _seg_window_copy(
-            lambda st, sz: u_hbm.at[:, pl.ds(st, sz)],
-            lambda st, sz: u_lo.at[:, pl.ds(st, sz)],
-            lambda st, sz: u_hi.at[:, pl.ds(st, sz)],
-            lambda off, sz: su.at[s, :, pl.ds(off, sz)],
-            sems.at[s], 0, j, nslab, bx=bx, nlo=2, nhi=1, lx=lx,
+    def u_full(s):
+        # window 0: the 2 lo planes come from the left neighbour; the hi
+        # plane is local plane bx, or the right neighbour's first plane
+        # when this shard has a single window (static)
+        hi_src = (
+            u_hi.at[:, pl.ds(0, 1)]
+            if nslab == 1
+            else u_hbm.at[:, pl.ds(bx, 1)]
         )
-        for q in range(nst):
-            _seg_window_copy(
-                lambda st, sz, q=q: streams[q].at[:, pl.ds(st, sz)],
-                lambda st, sz, q=q: streams_lo[q].at[:, pl.ds(st, sz)],
-                None,
-                lambda off, sz, q=q: sb.at[s, q, :, pl.ds(off, sz)],
-                sems.at[s], 3 + 2 * q, j, nslab, bx=bx, nlo=1, nhi=0, lx=lx,
+        return [
+            pltpu.make_async_copy(
+                u_lo.at[:, pl.ds(0, 2)], su.at[s, :, pl.ds(0, 2)],
+                sems.at[s, 0],
+            ),
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx)], su.at[s, :, pl.ds(2, bx)],
+                sems.at[s, 1],
+            ),
+            pltpu.make_async_copy(
+                hi_src, su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 2],
+            ),
+        ]
+
+    def u_part(j, s):
+        # window j > 0: positions 0..2 carried; DMA only the new planes
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start + 1, bx - 1)],
+                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+            ))
+        return cps
+
+    def u_part_hi(j, s):
+        # hi plane: local start+bx, or the right neighbour's first plane
+        # for the last window (branches signal the same sem/bytes)
+        start = j * bx
+        hi_sem = sems.at[s, 1]
+
+        @pl.when(j == nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                u_hi.at[:, pl.ds(0, 1)], su.at[s, :, pl.ds(bx + 2, 1)],
+                hi_sem,
+            ).start()
+
+        @pl.when(j < nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(jnp.minimum(start + bx, lx - 1), 1)],
+                su.at[s, :, pl.ds(bx + 2, 1)], hi_sem,
+            ).start()
+
+    def u_part_hi_wait(s):
+        pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(0, 1)], su.at[s, :, pl.ds(bx + 2, 1)],
+            sems.at[s, 1],
+        ).wait()
+
+    def s_full(s):
+        cps = []
+        for q in range(n_dma):
+            cps.append(pltpu.make_async_copy(
+                streams_lo[q].at[:, pl.ds(0, 1)],
+                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, 4 + 2 * q],
+            ))
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(0, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 3 + 2 * q],
+            ))
+        return cps
+
+    def s_part(j, s):
+        start = j * bx
+        return [
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(start, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 3 + 2 * q],
             )
+            for q in range(n_dma)
+        ]
 
     @pl.when(i == 0)
     def _():
-        issue(0, 0)
+        for cp in u_full(0) + s_full(0):
+            cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        issue(i + 1, (i + 1) % 2)
+        for cp in u_part(i + 1, 1 - slot) + s_part(i + 1, 1 - slot):
+            cp.start()
+        u_part_hi(i + 1, 1 - slot)
 
-    # waits: every branch signaled the same sems with the same sizes, so
-    # re-issuing descriptors just for .wait() is branch-free
-    start = i * bx
-    pltpu.make_async_copy(
-        u_hbm.at[:, pl.ds(start, bx)], su.at[slot, :, pl.ds(2, bx)],
-        sems.at[slot, 0],
-    ).wait()
-    pltpu.make_async_copy(
-        u_hbm.at[:, pl.ds(0, 2)], su.at[slot, :, pl.ds(0, 2)],
-        sems.at[slot, 1],
-    ).wait()
-    pltpu.make_async_copy(
-        u_hbm.at[:, pl.ds(0, 1)], su.at[slot, :, pl.ds(bx + 2, 1)],
-        sems.at[slot, 2],
-    ).wait()
-    for q in range(nst):
-        pltpu.make_async_copy(
-            streams[q].at[:, pl.ds(start, bx)],
-            sb.at[slot, q, :, pl.ds(1, bx)], sems.at[slot, 3 + 2 * q],
-        ).wait()
-        pltpu.make_async_copy(
-            streams[q].at[:, pl.ds(0, 1)],
-            sb.at[slot, q, :, pl.ds(0, 1)], sems.at[slot, 4 + 2 * q],
-        ).wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in u_full(0) + s_full(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in u_part(i, slot) + s_part(i, slot):
+            cp.wait()
+        u_part_hi_wait(slot)
+
+    # ring carry: seed window i+1's low planes from window i's buffer
+    @pl.when(i + 1 < nslab)
+    def _():
+        su[1 - slot, :, 0:3] = su[slot, :, bx : bx + 3]
+        for q in range(n_dma):
+            sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
     def at(a, lo_sh, hi_off):
         return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
+    if u_is_stream0:
+        base = lambda a: su[slot, a, 1 : bx + 2]  # noqa: E731
+        idx_bf = 0
+    else:
+        base = lambda a: sb[slot, 0, a]  # noqa: E731
+        idx_bf = m + 1
+    idx_acc = idx_bf + with_bf
+
     _stage_tail(
-        at, coeffs_smem, sb, slot,
+        at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
-        bf=(lambda a: sb[slot, m + 1, a]) if with_bf else None,
+        base=base,
+        kstream=lambda q, a: sb[slot, q, a],
+        bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
+        usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
     )
 
 
@@ -1186,6 +1366,7 @@ def momentum_stage_divhat_halo_3d(
     u_loc, u_lo, u_hi, streams, streams_lo, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, bodyforce_lo=None,
+    usnew_base=None,
 ):
     """`momentum_stage_divhat_3d` on an x-slab shard block with
     segmented halo DMAs.
@@ -1209,17 +1390,30 @@ def momentum_stage_divhat_halo_3d(
     for st in streams:
         assert st.shape == (3, lx, ny, nz), (st.shape, lx)
     with_bf = bodyforce is not None
-    nst = m + 1 + with_bf
+    with_accbase = usnew_base is not None
+    assert not (with_accbase and usnew_coeff is None)
+    u_is_stream0 = m == 0 and streams[0] is u_loc
+    if u_is_stream0:
+        streams, streams_lo = (), ()
     if with_bf:
         streams = streams + (bodyforce,)
         streams_lo = streams_lo + (bodyforce_lo,)
+    if with_accbase:
+        # the accbase window's lower ghost plane is never read (usnew is
+        # elementwise on the output planes) — feed its own first plane
+        # so no extra halo exchange is needed
+        streams = streams + (usnew_base,)
+        streams_lo = streams_lo + (
+            jax.lax.slice_in_dim(usnew_base, 0, 1, axis=1),
+        )
+    n_dma = len(streams)
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = _pick_bx(lx, lambda b: 6 * (b + 3) + 6 * nst * (b + 1) + 14 * b,
+        bx = _pick_bx(lx, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b,
                       ny * nz)
     while lx % bx != 0:
         bx //= 2
-    # the lo segment reads main planes [start-2, start): needs bx >= 2
+    # the partial window reads main plane [start + bx]: needs bx >= 2
     bx = max(bx, 2)
     with_usnew = usnew_coeff is not None
     kernel = functools.partial(
@@ -1234,6 +1428,8 @@ def momentum_stage_divhat_halo_3d(
         emit_k=emit_k,
         with_usnew=with_usnew,
         with_bf=with_bf,
+        with_accbase=with_accbase,
+        u_is_stream0=u_is_stream0,
     )
     all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
     coeff_arr = jnp.stack(
@@ -1256,22 +1452,23 @@ def momentum_stage_divhat_halo_3d(
         + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), u_loc.dtype)]
         + ([vec_shape] if with_usnew else [])
     )
+    scratch = [pltpu.VMEM((2, 3, bx + 3, ny, nz), u_loc.dtype)]
+    if n_dma:
+        scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, ny, nz),
+                                  u_loc.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 3 + 2 * n_dma)))
     return pl.pallas_call(
         kernel,
         grid=(lx // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 + 2 * nst)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (3 + 2 * n_dma)
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 3, ny, nz), u_loc.dtype),
-            pltpu.VMEM((2, nst, 3, bx + 1, ny, nz), u_loc.dtype),
-            pltpu.SemaphoreType.DMA((2, 3 + 2 * nst)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
@@ -1856,11 +2053,13 @@ def _pcmsd_hat_kernel(
         return uw[a][lo_sh : bx + 3 + hi_off, :, :]
 
     _stage_tail(
-        at, coeffs_smem, sb, slot,
+        at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
+        base=lambda a: sb[slot, 0, a],
+        kstream=lambda q, a: sb[slot, q, a],
     )
 
 
@@ -1958,57 +2157,88 @@ def pcmsd_hat_3d(
 
 
 def _pc_qhat_kernel(
-    ut_hbm, qhat_hbm, vy_hbm, vzT_hbm, u_out, su, sq, sems,
+    ut_hbm, qhat_hbm, vy_hbm, vzT_hbm, u_out, su, sq, sqt, sems,
     *, dx, bx, n, manualhigh,
 ):
     """pressure_correct + in-kernel z/y inverse transform of qhat: the
-    Poisson solve's pass C rides the correction kernel's DMA (the upper
-    ghost plane's inverse transform is recomputed per slab)."""
+    Poisson solve's pass C rides the correction kernel's DMA.
+
+    Ring carry: window j's LOW qhat plane (global start) is window j-1's
+    upper ghost — its inverse transform is carried in scratch ``sqt``
+    instead of re-DMA'd and re-transformed, so both the qhat HBM reads
+    and the MXU inverse-transform work are exactly 1x."""
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
-        start = j * bx
-        hi = (start + bx) % n
-        return (
+    def q_full(s):
+        # window 0: planes [0, bx] (positions 0..bx)
+        return [
             pltpu.make_async_copy(
-                ut_hbm.at[:, pl.ds(start, bx)],
-                su.at[s],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(start, bx)],
-                sq.at[s, pl.ds(0, bx)],
+                qhat_hbm.at[pl.ds(0, bx)], sq.at[s, pl.ds(0, bx)],
                 sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(hi, 1)],
-                sq.at[s, pl.ds(bx, 1)],
+                qhat_hbm.at[pl.ds(bx % n, 1)], sq.at[s, pl.ds(bx, 1)],
                 sems.at[s, 2],
             ),
-        )
+        ]
+
+    def q_part(j, s):
+        # window j > 0: position 0 carried (transformed) in sqt
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(start + 1, bx - 1)],
+                sq.at[s, pl.ds(1, bx - 1)], sems.at[s, 1],
+            ))
+        cps.append(pltpu.make_async_copy(
+            qhat_hbm.at[pl.ds((start + bx) % n, 1)],
+            sq.at[s, pl.ds(bx, 1)], sems.at[s, 2],
+        ))
+        return cps
+
+    def ut_cp(j, s):
+        return [pltpu.make_async_copy(
+            ut_hbm.at[:, pl.ds(j * bx, bx)], su.at[s], sems.at[s, 0],
+        )]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in ut_cp(0, 0) + q_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in ut_cp(i + 1, 1 - slot) + q_part(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in ut_cp(0, 0) + q_full(0):
+            cp.wait()
 
-    # inverse transform the bx+1 qhat planes: q = V_y @ qhat @ V_z^T
+    @pl.when(i > 0)
+    def _():
+        for cp in ut_cp(i, slot) + q_part(i, slot):
+            cp.wait()
+
+    # inverse transform: q = V_y @ qhat @ V_z^T.  Plane 0 comes from the
+    # carry scratch (seeded at window 0), planes 1..bx are computed.
     vy_s = _prep_mat(vy_hbm, manualhigh)
     vzT_s = _prep_mat(vzT_hbm, manualhigh)
-    qplanes = []
-    for p in range(bx + 1):
+
+    @pl.when(i == 0)
+    def _():
+        t0 = _mm_h_left(vy_s, sq[0, 0], manualhigh)
+        sqt[:, :] = _mm_h(t0, vzT_s, manualhigh)
+
+    qplanes = [sqt[:, :]]
+    for p in range(1, bx + 1):
         t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
         qplanes.append(_mm_h(t, vzT_s, manualhigh))
+    sqt[:, :] = qplanes[bx]
     qw = jnp.stack(qplanes)  # (bx+1, n, n)
 
     def rp(v, axis):
@@ -2059,6 +2289,7 @@ def pressure_correct_qhat_3d(
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
             pltpu.VMEM((2, bx + 1, n, n), ut_int.dtype),
+            pltpu.VMEM((n, n), ut_int.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(

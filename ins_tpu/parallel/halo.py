@@ -625,7 +625,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         prec = projection_precision
 
         def fused_stage(u, streams, streams_lo, coeffs, *, force,
-                        emit_k=True, usnew_coeff=None):
+                        emit_k=True, usnew_coeff=None, usnew_base=None):
             res = momentum_stage_divhat_halo_3d(
                 u, _x_lo(u, 2), _x_hi(u, 1),
                 streams, streams_lo, coeffs, visc_static, dxs,
@@ -633,6 +633,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                 emit_k=emit_k, usnew_coeff=usnew_coeff,
                 bodyforce=force,
                 bodyforce_lo=(_x_lo(force, 1) if force is not None else None),
+                usnew_base=usnew_base,
                 precision=prec, **kw,
             )
             res = list(res)
@@ -648,31 +649,64 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
 
         if isinstance(method, ExplicitRungeKuttaMethod):
             A, c, ns = method.A, method.c, method.nstage
+            # b-row accumulator (see ops/fastpath.py): with classic-RK44
+            # row structure no stage k ever round-trips HBM — the final
+            # combination accumulates as a fused usnew output.
+            lowstorage_rows = ns >= 2 and all(
+                A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
+            )
 
             def step_local(u, temp, dt, theta, bf):
                 ustart = u
                 ustart_lo = _x_lo(ustart, 1)
                 tempstart = temp
                 ku, ku_lo, kt = [], [], []
+                acc = ustart
                 for i in range(ns):
-                    streams, streams_lo = [ustart], [ustart_lo]
-                    coeffs = []
-                    for j in range(i):
-                        if A[i][j] != 0.0:
-                            streams.append(ku[j])
-                            streams_lo.append(ku_lo[j])
-                            coeffs.append(dt * A[i][j])
-                    coeffs.append(dt * A[i][i])
                     if temp is not None:
                         kt.append(temp_rhs_local(u, temp))
-                    k, u, _ = fused_stage(
-                        u, streams, streams_lo, coeffs,
-                        force=force_stream(u, temp, theta, bf),
-                        emit_k=(i < ns - 1),
-                    )
-                    if k is not None:
-                        ku.append(k)
-                        ku_lo.append(_x_lo(k, 1))
+                    if lowstorage_rows:
+                        if i == ns - 1:
+                            _, u, _ = fused_stage(
+                                u, (acc,), (_x_lo(acc, 1),),
+                                (dt * A[i][i],),
+                                force=force_stream(u, temp, theta, bf),
+                                emit_k=False,
+                            )
+                        else:
+                            bcoef = A[ns - 1][i]
+                            unc = dt * bcoef if bcoef != 0.0 else None
+                            _, u, usnew = fused_stage(
+                                u, (ustart,), (ustart_lo,),
+                                (dt * A[i][i],),
+                                force=force_stream(u, temp, theta, bf),
+                                emit_k=False,
+                                usnew_coeff=unc,
+                                usnew_base=(
+                                    acc
+                                    if unc is not None and acc is not ustart
+                                    else None
+                                ),
+                            )
+                            if usnew is not None:
+                                acc = usnew
+                    else:
+                        streams, streams_lo = [ustart], [ustart_lo]
+                        coeffs = []
+                        for j in range(i):
+                            if A[i][j] != 0.0:
+                                streams.append(ku[j])
+                                streams_lo.append(ku_lo[j])
+                                coeffs.append(dt * A[i][j])
+                        coeffs.append(dt * A[i][i])
+                        k, u, _ = fused_stage(
+                            u, streams, streams_lo, coeffs,
+                            force=force_stream(u, temp, theta, bf),
+                            emit_k=(i < ns - 1),
+                        )
+                        if k is not None:
+                            ku.append(k)
+                            ku_lo.append(_x_lo(k, 1))
                     if temp is not None:
                         temp = tempstart
                         for j in range(i + 1):

@@ -178,6 +178,62 @@ def test_momentum_stage_divhat_multistream():
     assert float(jnp.max(jnp.abs(usnew - (ustart + 0.5 * k_ref)))) < 1e-4
 
 
+def test_momentum_stage_divhat_accbase_dedup_and_deep_carry():
+    """New ring-carry kernel features: (a) a deep multi-window carry
+    chain (bx=2 -> 8 windows) matches the single-window result, (b) the
+    b-row accumulator stream (usnew = usnew_base + c*k), (c) stage-0
+    stream dedup (streams[0] is u reads the base from the u window)."""
+    from ins_tpu.ops.pallas_kernels import momentum_stage_divhat_3d
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    accb = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    cn = 0.21
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    kw = dict(interpret=True)
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"], **kw
+    )
+
+    # (a) deep carry chain: bx=2 forces 8 ring-carried windows
+    k2, ut2, dh2 = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        bx=2, **kw,
+    )
+    assert float(jnp.max(jnp.abs(k2 - k_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(dh2 - dh_ref))) < 1e-3
+
+    # (b) separate usnew base stream (the RK b-row accumulator)
+    ut3, dh3, usnew = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        emit_k=False, usnew_coeff=0.5, usnew_base=accb, bx=2, **kw,
+    )
+    assert float(jnp.max(jnp.abs(ut3 - ut_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(usnew - (accb + 0.5 * k_ref)))) < 1e-4
+
+    # (c) stage-0 dedup: streams[0] IS u (one fewer DMA stream) ==
+    # passing an identical copy (separate stream)
+    k4, ut4, dh4, usnew4 = momentum_stage_divhat_3d(
+        u, (u,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        usnew_coeff=0.5, bx=2, **kw,
+    )
+    k5, ut5, dh5, usnew5 = momentum_stage_divhat_3d(
+        u, (jnp.array(u),), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        usnew_coeff=0.5, bx=2, **kw,
+    )
+    assert float(jnp.max(jnp.abs(k4 - k5))) == 0.0
+    assert float(jnp.max(jnp.abs(ut4 - ut5))) == 0.0
+    assert float(jnp.max(jnp.abs(usnew4 - usnew5))) == 0.0
+    assert float(jnp.max(jnp.abs(dh4 - dh5))) == 0.0
+
+
 def test_momentum_stage_divhat_bodyforce():
     """A steady body force riding the kernel as an extra stream equals
     adding it to k outside."""
