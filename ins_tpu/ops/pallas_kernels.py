@@ -189,40 +189,68 @@ def _convdiff3d_kernel(u_hbm, f_out, scratch, sems, *, visc, dx, bx, n):
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
+    # ring-carry (see _msd_hat_kernel): window j > 0 re-uses its 2 low
+    # planes (globals start-1, start) from window j-1's buffer
+    def u_full(s):
+        cps = [
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(n - 1, 1)],
+                scratch.at[s, :, pl.ds(0, 1)], sems.at[s, 0],
+            )
+        ]
+        if nslab == 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx)],
+                scratch.at[s, :, pl.ds(1, bx)], sems.at[s, 1],
+            ))
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, 1)],
+                scratch.at[s, :, pl.ds(bx + 1, 1)], sems.at[s, 2],
+            ))
+        else:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx + 1)],
+                scratch.at[s, :, pl.ds(1, bx + 1)], sems.at[s, 1],
+            ))
+        return cps
+
+    def u_part(j, s):
         start = j * bx
-        lo = (start - 1 + n) % n
-        hi = (start + bx) % n
-        return (
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start, bx)],
-                scratch.at[s, :, pl.ds(1, bx)],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(lo, 1)],
-                scratch.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 1],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(hi, 1)],
-                scratch.at[s, :, pl.ds(bx + 1, 1)],
-                sems.at[s, 2],
-            ),
-        )
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start + 1, bx - 1)],
+                scratch.at[s, :, pl.ds(2, bx - 1)], sems.at[s, 0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds((start + bx) % n, 1)],
+            scratch.at[s, :, pl.ds(bx + 1, 1)], sems.at[s, 1],
+        ))
+        return cps
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in u_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in u_part(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in u_full(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in u_part(i, slot):
+            cp.wait()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        scratch[1 - slot, :, 0:2] = scratch[slot, :, bx : bx + 2]
 
     def at(a, lo_sh, hi_off):
         # x-plane window [lo_sh, bx + hi_off] in ghosted local coords
@@ -347,44 +375,57 @@ def _stage_div_kernel(
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
+    # ring-carry: each stream's 1 low ghost plane (global start-1) is
+    # window j-1's top plane — VMEM-copied, not re-read from HBM
+    def s_main(j, s):
         start = j * bx
-        lo = (start - 1 + n) % n
-        return (
+        return [
             pltpu.make_async_copy(
                 base_hbm.at[:, pl.ds(start, bx)],
-                sb.at[s, :, pl.ds(1, bx)],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                base_hbm.at[:, pl.ds(lo, 1)],
-                sb.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 1],
+                sb.at[s, :, pl.ds(1, bx)], sems.at[s, 0],
             ),
             pltpu.make_async_copy(
                 k_hbm.at[:, pl.ds(start, bx)],
-                sk.at[s, :, pl.ds(1, bx)],
-                sems.at[s, 2],
+                sk.at[s, :, pl.ds(1, bx)], sems.at[s, 2],
+            ),
+        ]
+
+    def s_lo(s):
+        return [
+            pltpu.make_async_copy(
+                base_hbm.at[:, pl.ds(n - 1, 1)],
+                sb.at[s, :, pl.ds(0, 1)], sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                k_hbm.at[:, pl.ds(lo, 1)],
-                sk.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 3],
+                k_hbm.at[:, pl.ds(n - 1, 1)],
+                sk.at[s, :, pl.ds(0, 1)], sems.at[s, 3],
             ),
-        )
+        ]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in s_main(0, 0) + s_lo(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in s_main(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in s_main(0, 0) + s_lo(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in s_main(i, slot):
+            cp.wait()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        sb[1 - slot, :, 0:1] = sb[slot, :, bx : bx + 1]
+        sk[1 - slot, :, 0:1] = sk[slot, :, bx : bx + 1]
 
     c = coeff_smem[0]
     d = None
@@ -1613,57 +1654,81 @@ def _smag_force_kernel(
     slot = i % 2
     w = bx + 4
 
-    def copies(j, s):
-        start = j * bx
+    # Ring-carry: window j > 0 re-uses its 4 low planes (positions 0..3
+    # <-> globals start-2..start+1) from window j-1's buffer; only the
+    # bx new planes are DMA'd.  Window 0 reads the full wrapped window.
+    def u_full(s):
         cps = [
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start, bx)],
-                su.at[s, :, pl.ds(2, bx)],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds((start - 1 + n) % n, 1)],
-                su.at[s, :, pl.ds(1, 1)],
-                sems.at[s, 1],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds((start - 2 + n) % n, 1)],
-                su.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 2],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds((start + bx) % n, 1)],
-                su.at[s, :, pl.ds(bx + 2, 1)],
-                sems.at[s, 3],
-            ),
-            pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds((start + bx + 1) % n, 1)],
-                su.at[s, :, pl.ds(bx + 3, 1)],
-                sems.at[s, 4],
-            ),
-        ]
-        if with_bf:
-            cps.append(
-                pltpu.make_async_copy(
-                    bf_hbm.at[:, pl.ds(start, bx)],
-                    sbf.at[s],
-                    sems.at[s, 5],
-                )
+                u_hbm.at[:, pl.ds(n - 2, 2)],
+                su.at[s, :, pl.ds(0, 2)], sems.at[s, 0],
             )
+        ]
+        if nslab == 1:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx)],
+                su.at[s, :, pl.ds(2, bx)], sems.at[s, 1],
+            ))
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, 2)],
+                su.at[s, :, pl.ds(bx + 2, 2)], sems.at[s, 2],
+            ))
+        else:
+            # nslab >= 2 and the production lane gate keep bx + 2 <= n
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(0, bx + 2)],
+                su.at[s, :, pl.ds(2, bx + 2)], sems.at[s, 1],
+            ))
         return cps
+
+    def u_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > 2:
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start + 2, bx - 2)],
+                su.at[s, :, pl.ds(4, bx - 2)], sems.at[s, 0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds((start + bx) % n, 1)],
+            su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 1],
+        ))
+        cps.append(pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds((start + bx + 1) % n, 1)],
+            su.at[s, :, pl.ds(bx + 3, 1)], sems.at[s, 2],
+        ))
+        return cps
+
+    def bf_cp(j, s):
+        if not with_bf:
+            return []
+        return [pltpu.make_async_copy(
+            bf_hbm.at[:, pl.ds(j * bx, bx)], sbf.at[s], sems.at[s, 3],
+        )]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in u_full(0) + bf_cp(0, 0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in u_part(i + 1, 1 - slot) + bf_cp(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in u_full(0) + bf_cp(0, 0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in u_part(i, slot) + bf_cp(i, slot):
+            cp.wait()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        su[1 - slot, :, 0:4] = su[slot, :, bx : bx + 4]
 
     ux = su[slot, 0]  # (w, n, n), local l <-> global start - 2 + l
     uy = su[slot, 1]
@@ -2306,39 +2371,62 @@ def _pressure_correct_kernel(ut_hbm, q_hbm, u_out, su, sq, sems, *, dx, bx, n):
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
-        start = j * bx
-        hi = (start + bx) % n
-        return (
+    # ring-carry: window j's low q plane (global start) is window j-1's
+    # upper ghost — VMEM-copied instead of re-read
+    def q_full(s):
+        return [
             pltpu.make_async_copy(
-                ut_hbm.at[:, pl.ds(start, bx)],
-                su.at[s],
-                sems.at[s, 0],
-            ),
-            pltpu.make_async_copy(
-                q_hbm.at[pl.ds(start, bx)],
-                sq.at[s, pl.ds(0, bx)],
+                q_hbm.at[pl.ds(0, bx)], sq.at[s, pl.ds(0, bx)],
                 sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                q_hbm.at[pl.ds(hi, 1)],
-                sq.at[s, pl.ds(bx, 1)],
+                q_hbm.at[pl.ds(bx % n, 1)], sq.at[s, pl.ds(bx, 1)],
                 sems.at[s, 2],
             ),
-        )
+        ]
+
+    def q_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                q_hbm.at[pl.ds(start + 1, bx - 1)],
+                sq.at[s, pl.ds(1, bx - 1)], sems.at[s, 1],
+            ))
+        cps.append(pltpu.make_async_copy(
+            q_hbm.at[pl.ds((start + bx) % n, 1)],
+            sq.at[s, pl.ds(bx, 1)], sems.at[s, 2],
+        ))
+        return cps
+
+    def ut_cp(j, s):
+        return [pltpu.make_async_copy(
+            ut_hbm.at[:, pl.ds(j * bx, bx)], su.at[s], sems.at[s, 0],
+        )]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in ut_cp(0, 0) + q_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in ut_cp(i + 1, 1 - slot) + q_part(i + 1, 1 - slot):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in ut_cp(0, 0) + q_full(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in ut_cp(i, slot) + q_part(i, slot):
+            cp.wait()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        sq[1 - slot, 0:1] = sq[slot, bx : bx + 1]
 
     qw = sq[slot]  # (bx+1, n, n)
     qc = qw[:bx]

@@ -90,35 +90,91 @@ def _passA_kernel(f_ref, vinvy_ref, vinvzT_ref, out_ref, *, bx, n, prec):
         out_ref[xi, :, :] = _dot_h(vinvy_ref[...], t[xi], prec)
 
 
+def _lam(idx, d, n, dxs):
+    """Second-difference eigenvalue -4 sin^2(pi*k/n)/dx^2 at frequency
+    index k = ceil(idx/2) (eigenbasis ordering [const, cos_1, sin_1,
+    ..., Nyquist] of ops/dft.py `fourier_eigenbasis`)."""
+    kk = (idx + 1) // 2
+    s = jnp.sin((np.pi / n) * kk.astype(jnp.float32))
+    return (-4.0 / (dxs[d] * dxs[d])) * s * s
+
+
 def _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, iy0,
                 *, by, n, prec, eps, dxs, vol):
     """x-forward, eigen-scale, x-inverse.  The eigenvalue denominator is
     generated in-kernel from its closed form (a precomputed (n,n,n)
     constant would bloat the compile payload by n^3*4 bytes — 512 MB at
     512^3 — and cost an extra HBM read per solve).  ``iy0`` is the
-    block's global y index offset (traced when the y axis is sharded).
-
-    Eigenbasis ordering (ops/dft.py `fourier_eigenbasis`): columns are
-    [const, cos_1, sin_1, ..., cos_k, sin_k, ..., Nyquist], so the
-    eigenvalue at index k is -4 sin^2(pi*ceil(k/2)/n)/dx^2."""
+    block's global y index offset (traced when the y axis is sharded)."""
     dn = (((1,), (0,)), ((), ()))
     g = _dot_h(vinvx_ref[...], h_ref[...], prec, dn)
-
-    def lam(idx, d):
-        kk = (idx + 1) // 2
-        s = jnp.sin((np.pi / n) * kk.astype(jnp.float32))
-        return (-4.0 / (dxs[d] * dxs[d])) * s * s
 
     shape = (n, by, n)
     ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + iy0
     iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    den = vol * (lam(ix, 0) + lam(iy, 1) + lam(iz, 2))
+    den = vol * (
+        _lam(ix, 0, n, dxs) + _lam(iy, 1, n, dxs) + _lam(iz, 2, n, dxs)
+    )
     inv = jnp.where(
         jnp.abs(den) < eps, 0.0, 1.0 / jnp.where(den == 0.0, 1.0, den)
     )
     g = g * inv
     out_ref[...] = _dot_h(vx_ref[...], g, prec, dn)
+
+
+def _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref, iy0,
+                     *, by, n, prec, eps, dxs, vol):
+    """Radix-2 (decimation-in-frequency) folded pass B — HALF the MXU
+    work of `_passB_body`.
+
+    Even-frequency basis functions are n/2-periodic (symmetric under the
+    half-domain shift j -> j + n/2), odd-frequency ones antisymmetric,
+    so with e = h[:n/2] + h[n/2:] and o = h[:n/2] - h[n/2:] the n x n
+    transforms split into four (n/2) x (n/2) matmuls on CONTIGUOUS
+    slices (no data reversal — the (j, n-j) reflection pairing would
+    need one, and Mosaic has no rev):
+
+        g_e = R_e @ e   (frequencies k = 0, 2, 4, ..., n/2)
+        g_o = R_o @ o   (frequencies k = 1, 3, ..., n/2-1)
+        q_e = S_e @ (g_e * inv_den_e);  q_o = S_o @ (g_o * inv_den_o)
+        out[:n/2] = q_e + q_o;  out[n/2:] = q_e - q_o
+
+    Row r of the even branch carries frequency k_e(r) = 2*((r+1)//2)
+    (ordering [const, cos_2, sin_2, ..., Nyquist]); the odd branch
+    k_o(r) = 2*(r//2) + 1.  The y/z directions stay in the standard
+    paired ordering."""
+    n2 = n // 2
+    dn = (((1,), (0,)), ((), ()))
+    h = h_ref[...]
+    e = h[:n2] + h[n2:]
+    o = h[:n2] - h[n2:]
+    ge = _dot_h(re_ref[...], e, prec, dn)
+    go = _dot_h(ro_ref[...], o, prec, dn)
+
+    shape = (n2, by, n)
+    ir = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + iy0
+    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    lam_yz = _lam(iy, 1, n, dxs) + _lam(iz, 2, n, dxs)
+
+    def lamx(k):
+        s = jnp.sin((np.pi / n) * k.astype(jnp.float32))
+        return (-4.0 / (dxs[0] * dxs[0])) * s * s
+
+    def scale(g, k):
+        den = vol * (lamx(k) + lam_yz)
+        inv = jnp.where(
+            jnp.abs(den) < eps, 0.0, 1.0 / jnp.where(den == 0.0, 1.0, den)
+        )
+        return g * inv
+
+    ge = scale(ge, 2 * ((ir + 1) // 2))
+    go = scale(go, 2 * (ir // 2) + 1)
+    qe = _dot_h(se_ref[...], ge, prec, dn)
+    qo = _dot_h(so_ref[...], go, prec, dn)
+    out_ref[:n2] = qe + qo
+    out_ref[n2:] = qe - qo
 
 
 def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
@@ -135,6 +191,22 @@ def _passB_yoff_kernel(yoff_smem, h_ref, vinvx_ref, vx_ref, out_ref,
     j = pl.program_id(0)
     _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, j * by + yoff_smem[0],
                 by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol)
+
+
+def _passB_fold_kernel(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
+                       *, by, n, prec, eps, dxs, vol):
+    j = pl.program_id(0)
+    _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
+                     j * by, by=by, n=n, prec=prec, eps=eps, dxs=dxs,
+                     vol=vol)
+
+
+def _passB_fold_yoff_kernel(yoff_smem, h_ref, re_ref, ro_ref, se_ref,
+                            so_ref, out_ref, *, by, n, prec, eps, dxs, vol):
+    j = pl.program_id(0)
+    _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
+                     j * by + yoff_smem[0], by=by, n=n, prec=prec, eps=eps,
+                     dxs=dxs, vol=vol)
 
 
 def _passC_kernel(h_ref, vy_ref, vzT_ref, out_ref, *, bx, n, prec):
@@ -157,6 +229,40 @@ def poisson_eigen_consts(Np, dxs, dtype):
     eps = float(1e-12 * maxden)
     c = lambda a: jnp.asarray(a, dtype)
     return c(V), c(Vinv), eps
+
+
+def poisson_fold_consts(Np, dxs, dtype):
+    """(R_e, R_o, S_e, S_o, eps) for the radix-2 folded pass B (see
+    `_passB_fold_body`): the even/odd-frequency row/column selections of
+    the x eigenbasis restricted to the first half of the domain.
+    Requires n % 4 == 0 (so the Nyquist mode is even-frequency and the
+    closed-form row->frequency maps hold)."""
+    n = Np[0]
+    assert n % 4 == 0, n
+    V, Vinv, _ = fourier_eigenbasis(n, dxs[0])  # float64 numpy
+    n2 = n // 2
+    even_idx = [0]
+    for k in range(2, n2, 2):
+        even_idx += [2 * k - 1, 2 * k]
+    even_idx += [n - 1]  # Nyquist (k = n/2, even since n % 4 == 0)
+    odd_idx = []
+    for k in range(1, n2, 2):
+        odd_idx += [2 * k - 1, 2 * k]
+    assert len(even_idx) == n2 and len(odd_idx) == n2
+    c = lambda a: jnp.asarray(np.ascontiguousarray(a), dtype)
+    vol = float(np.prod(dxs))
+    maxden = 0.0
+    for d in range(3):
+        _, _, lam_d = fourier_eigenbasis(Np[d], dxs[d])
+        maxden += np.max(np.abs(lam_d)) * vol
+    eps = float(1e-12 * maxden)
+    return (
+        c(Vinv[even_idx][:, :n2]),
+        c(Vinv[odd_idx][:, :n2]),
+        c(V[:n2][:, even_idx]),
+        c(V[:n2][:, odd_idx]),
+        eps,
+    )
 
 
 def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
@@ -193,24 +299,48 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )
-    passB = pl.pallas_call(
-        functools.partial(
-            _passB_kernel, by=by, n=n, prec=prec, eps=eps,
-            dxs=tuple(map(float, dxs)), vol=vol,
-        ),
-        grid=(n // by,),
-        in_specs=[
-            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
-            mm,
-            mm,
-        ],
-        out_specs=pl.BlockSpec(
-            (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
-        compiler_params=_VMEM_LIMIT,
-        interpret=interpret,
-    )
+    fold = n % 4 == 0
+    if fold:
+        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        passB_raw = pl.pallas_call(
+            functools.partial(
+                _passB_fold_kernel, by=by, n=n, prec=prec, eps=eps,
+                dxs=tuple(map(float, dxs)), vol=vol,
+            ),
+            grid=(n // by,),
+            in_specs=[
+                pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                mm, mm, mm, mm,
+            ],
+            out_specs=pl.BlockSpec(
+                (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )
+        passB = lambda h, _vi, _v: passB_raw(h, Re, Ro, Se, So)
+    else:
+        passB = pl.pallas_call(
+            functools.partial(
+                _passB_kernel, by=by, n=n, prec=prec, eps=eps,
+                dxs=tuple(map(float, dxs)), vol=vol,
+            ),
+            grid=(n // by,),
+            in_specs=[
+                pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                mm,
+                mm,
+            ],
+            out_specs=pl.BlockSpec(
+                (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )
     passC = pl.pallas_call(
         functools.partial(_passC_kernel, bx=bx, n=n, prec=prec),
         grid=(n // bx,),
@@ -256,26 +386,51 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
     vol = float(np.prod(dxs))
     prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
     mm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    passB = pl.pallas_call(
-        functools.partial(
-            _passB_kernel, by=by, n=n, prec=prec, eps=eps,
-            dxs=tuple(map(float, dxs)), vol=vol,
-        ),
-        grid=(n // by,),
-        in_specs=[
-            pl.BlockSpec((n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM),
-            mm,
-            mm,
-        ],
-        out_specs=pl.BlockSpec(
-            (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
-        compiler_params=_VMEM_LIMIT,
-        interpret=interpret,
-    )
+    fold = n % 4 == 0
+    if fold:
+        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        passB_raw = pl.pallas_call(
+            functools.partial(
+                _passB_fold_kernel, by=by, n=n, prec=prec, eps=eps,
+                dxs=tuple(map(float, dxs)), vol=vol,
+            ),
+            grid=(n // by,),
+            in_specs=[
+                pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                mm, mm, mm, mm,
+            ],
+            out_specs=pl.BlockSpec(
+                (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )
+        passB_fn = lambda h: passB_raw(h, Re, Ro, Se, So)
+    else:
+        passB = pl.pallas_call(
+            functools.partial(
+                _passB_kernel, by=by, n=n, prec=prec, eps=eps,
+                dxs=tuple(map(float, dxs)), vol=vol,
+            ),
+            grid=(n // by,),
+            in_specs=[
+                pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                mm,
+                mm,
+            ],
+            out_specs=pl.BlockSpec(
+                (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n, n), dtype),
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )
+        passB_fn = lambda h: passB(h, Vinv, V)
     return {
-        "passB": lambda h: passB(h, Vinv, V),
+        "passB": passB_fn,
         "Vinv": Vinv,
         "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
         "V": V,
@@ -302,6 +457,42 @@ def make_passB_sharded(Np, dxs, dtype, ly, *, precision="manualhigh", by=8,
     vol = float(np.prod(dxs))
     prec = None if precision == "manualhigh" else lax.Precision.HIGHEST
     mm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fold = n % 4 == 0
+    if fold:
+        # the fold acts on the x axis, which is FULL (unsharded) after
+        # the all_to_all transpose — only the y eigen-offset is sharded
+        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        passB = pl.pallas_call(
+            functools.partial(
+                _passB_fold_yoff_kernel, by=by, n=n, prec=prec, eps=eps,
+                dxs=tuple(map(float, dxs)), vol=vol,
+            ),
+            grid=(ly // by,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+                mm, mm, mm, mm,
+            ],
+            out_specs=pl.BlockSpec(
+                (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, ly, n), dtype),
+            compiler_params=_VMEM_LIMIT,
+            interpret=interpret,
+        )
+
+        def solve(h_local, yoff):
+            yoff_arr = jnp.reshape(yoff, (1,)).astype(jnp.int32)
+            return passB(yoff_arr, h_local, Re, Ro, Se, So)
+
+        return {
+            "passB": solve,
+            "Vinv": Vinv,
+            "VinvT": jnp.asarray(np.asarray(Vinv).T, dtype),
+            "V": V,
+            "VT": jnp.asarray(np.asarray(V).T, dtype),
+        }
     passB = pl.pallas_call(
         functools.partial(
             _passB_yoff_kernel, by=by, n=n, prec=prec, eps=eps,
