@@ -198,6 +198,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         fused_cube_supported,
         momentum_stage_divhat_3d,
         pallas_supported,
+        pcmsd_hat_3d,
+        pcmsd_profitable,
         pressure_correct_3d,
         pressure_correct_qhat_3d,
         smagorinsky_force_3d,
@@ -374,41 +376,69 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             )
         return bodyforce_int
 
-    def fused_stage(u, streams, coeffs, *, force, emit_k=True,
-                    usnew_coeff=None, usnew_base=None):
+    def fused_stage_hat(u, streams, coeffs, *, force, emit_k=True,
+                        usnew_coeff=None, usnew_base=None):
         """momentum + tableau accumulation + divergence in one kernel
-        pass, then the projection: returns (k|None, u_next, usnew|None).
-        ``streams`` is (ustart, k_j...) with ``coeffs`` their tableau
-        coefficients plus the new k's coefficient last (the base axpy
-        never materializes in HBM).  ``force`` is the stage's extra
-        force stream (see `stage_force`).  ``emit_k=False`` skips the k
-        write (final stages); ``usnew_coeff`` fuses the low-storage
-        accumulator update ``base + c*k`` as an extra kernel output
-        (base = ``usnew_base`` if given, else ustart)."""
+        pass, then the Poisson pass B: returns
+        (k|None, ut, qhat, usnew|None) with the pressure correction
+        DEFERRED (apply via `correct`, or let the next stage's merged
+        kernel reconstruct u in VMEM).  ``streams`` is (ustart, k_j...)
+        with ``coeffs`` their tableau coefficients plus the new k's
+        coefficient last (the base axpy never materializes in HBM).
+        ``force`` is the stage's extra force stream (see `stage_force`).
+        ``emit_k=False`` skips the k write (final stages);
+        ``usnew_coeff`` fuses the low-storage accumulator update
+        ``base + c*k`` as an extra kernel output (base = ``usnew_base``
+        if given, else ustart)."""
         res = momentum_stage_divhat_3d(
             u, streams, coeffs, visc_static, dxs,
             proj["Vinv"], proj["VinvT"],
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
+            precision=projection_precision,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
         ut, divhat = res.pop(0), res.pop(0)
         usnew = res.pop(0) if usnew_coeff is not None else None
-        qhat = proj["passB"](divhat)
-        return k, pressure_correct_qhat_3d(
-            ut, qhat, dxs, proj["V"], proj["VT"]
-        ), usnew
+        return k, ut, proj["passB"](divhat), usnew
+
+    def merged_stage_hat(ut, qhat, streams, coeffs, *, force,
+                         emit_k=False, usnew_coeff=None, usnew_base=None):
+        """`fused_stage_hat` with the PREVIOUS stage's pressure
+        correction merged in: u = ut - grad(q) is reconstructed in VMEM
+        (ring-carried) and never round-trips HBM between interior
+        stages (`pcmsd_hat_3d`)."""
+        res = pcmsd_hat_3d(
+            ut, qhat, streams, coeffs, visc_static, dxs, proj,
+            emit_k=emit_k, usnew_coeff=usnew_coeff,
+            bodyforce=force, usnew_base=usnew_base,
+            precision=projection_precision,
+        )
+        res = list(res)
+        k = res.pop(0) if emit_k else None
+        ut2, divhat = res.pop(0), res.pop(0)
+        usnew = res.pop(0) if usnew_coeff is not None else None
+        return k, ut2, proj["passB"](divhat), usnew
+
+    def correct(ut, qhat):
+        return pressure_correct_qhat_3d(
+            ut, qhat, dxs, proj["V"], proj["VT"],
+            precision=projection_precision,
+        )
+
+    def fused_stage(u, streams, coeffs, *, force, emit_k=True,
+                    usnew_coeff=None, usnew_base=None):
+        """`fused_stage_hat` + the correction applied — returns
+        (k|None, u_next, usnew|None)."""
+        k, ut, qhat, usnew = fused_stage_hat(
+            u, streams, coeffs, force=force, emit_k=emit_k,
+            usnew_coeff=usnew_coeff, usnew_base=usnew_base,
+        )
+        return k, correct(ut, qhat), usnew
 
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
-
-        # NOTE on the merged pc+msd kernel (`pcmsd_hat_3d`): eliminating
-        # the corrected velocity's HBM round-trip measured SLOWER end to
-        # end (256^3: 14.2 vs 13.3 ms/step; 128^3: 6.4 vs 2.7) — the
-        # stage kernels are compute-bound at this point and the merge
-        # adds (bx+4)/bx transform recompute, so the unmerged chain below
-        # is the production path.
 
         # b-row accumulator: when every intermediate (shifted-tableau)
         # row's only nonzero is its OWN stage's k — classic RK44 and
@@ -419,8 +449,47 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         lowstorage_rows = ns >= 2 and all(
             A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
         )
+        # Merged chain: interior stages run `pcmsd_hat_3d` — the
+        # previous stage's pressure correction rides the next momentum
+        # kernel, so u materializes in HBM only once per STEP (at
+        # `correct`).  Needs a u-independent per-stage force (the fused
+        # Smagorinsky kernel reads u, so LES stays on the per-stage
+        # corrected chain).
+        use_merged = (
+            use_fused_stage and lowstorage_rows and not _smag
+            and pcmsd_profitable(Np[0], 2 + (bodyforce_int is not None))
+        )
 
-        def step(state, dt, theta):
+        def step_merged(state, dt, theta):
+            u, temp, t, n = state
+            ustart = u
+            acc = ustart
+            ut = qhat = None
+            for i in range(ns):
+                last = i == ns - 1
+                bcoef = A[ns - 1][i]
+                unc = dt * bcoef if (bcoef != 0.0 and not last) else None
+                ub = None if (unc is None or acc is ustart) else acc
+                if i == 0:
+                    _, ut, qhat, usnew = fused_stage_hat(
+                        u, (ustart,), (dt * A[i][i],),
+                        force=bodyforce_int, emit_k=False,
+                        usnew_coeff=unc,
+                    )
+                else:
+                    _, ut, qhat, usnew = merged_stage_hat(
+                        ut, qhat, ((acc,) if last else (ustart,)),
+                        (dt * A[i][i],),
+                        force=bodyforce_int, emit_k=False,
+                        usnew_coeff=unc, usnew_base=ub,
+                    )
+                if unc is not None:
+                    acc = usnew
+            return StepperState(
+                u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
+            )
+
+        def step_unmerged(state, dt, theta):
             u, temp, t, n = state
             tstart = t
             ustart = u
@@ -489,11 +558,39 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                             temp = temp + (dt * A[i][j]) * kt[j]
             return StepperState(u=u, temp=temp, t=t, n=n + 1)
 
+        step = step_merged if use_merged else step_unmerged
+
     else:  # LMWray3
         a_, b_, c_ = method.a, method.b, method.c
         ns = len(a_)
+        use_merged = (
+            use_fused_stage and not _smag
+            and pcmsd_profitable(Np[0], 1 + (bodyforce_int is not None))
+        )
 
-        def step(state, dt, theta):
+        def step_merged(state, dt, theta):
+            u, temp, t, n = state
+            ustart = u
+            _, ut, qhat, usnew = fused_stage_hat(
+                u, (ustart,), (dt * a_[0],), force=bodyforce_int,
+                emit_k=False,
+                usnew_coeff=(dt * b_[0] if ns > 1 else None),
+            )
+            if ns > 1:
+                ustart = usnew
+            for i in range(1, ns):
+                unc = dt * b_[i] if i < ns - 1 else None
+                _, ut, qhat, usnew = merged_stage_hat(
+                    ut, qhat, (ustart,), (dt * a_[i],),
+                    force=bodyforce_int, emit_k=False, usnew_coeff=unc,
+                )
+                if unc is not None:
+                    ustart = usnew
+            return StepperState(
+                u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
+            )
+
+        def step_unmerged(state, dt, theta):
             u, temp, t, n = state
             tstart = t
             ustart = u
@@ -521,5 +618,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                     if temp is not None:
                         tempstart = tempstart + dt * b_[i] * dtemp
             return StepperState(u=u, temp=temp, t=tstart + dt, n=n + 1)
+
+        step = step_merged if use_merged else step_unmerged
 
     return step

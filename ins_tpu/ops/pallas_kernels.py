@@ -1988,6 +1988,7 @@ def smagorinsky_force_3d(
 def _pcmsd_hat_kernel(
     coeffs_smem, utprev_hbm, qhat_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k, with_usnew,
+    with_bf=False, with_accbase=False,
 ):
     """Merged pressure-correction + next-stage momentum kernel.
 
@@ -1996,127 +1997,188 @@ def _pcmsd_hat_kernel(
     consumed by the conv-diff stencil — u never round-trips HBM between
     interior RK stages.  Windows: ut_prev planes [start-2, start+bx]
     (conv-diff needs u there), qhat planes [start-2, start+bx+1] (the
-    x-gradient needs q one plane above u's window)."""
-    streams = args[: m + 1]
-    vy_hbm = args[m + 1]
-    vzT_hbm = args[m + 2]
-    vinvy_hbm = args[m + 3]
-    vinvzT_hbm = args[m + 4]
-    outs = list(args[m + 5 : m + 5 + emit_k + 2 + with_usnew])
-    rest = args[m + 5 + emit_k + 2 + with_usnew :]
+    x-gradient needs q one plane above u's window).
+
+    Ring carry: the RECONSTRUCTED u window's top 3 planes are carried in
+    VMEM (``suw``) across slab windows, so for windows j > 0 only bx new
+    ut_prev planes are DMA'd, bx new qhat planes transformed (the
+    overlap's transformed q plane rides scratch ``sqt``), and bx new u
+    planes reconstructed — HBM reads, transform MXU work, and
+    reconstruction VPU work are all exactly 1x.  This removes the
+    (bx+4)/bx recompute that made the merged kernel LOSE to the unmerged
+    chain in round 2 (256^3 RK44 14.2 vs 13.3 ms/step)."""
+    n_dma = m + 1 + with_bf + with_accbase
+    streams = args[:n_dma]       # ustart, k_1..k_m [, bf][, accbase]
+    vy_hbm = args[n_dma]
+    vzT_hbm = args[n_dma + 1]
+    vinvy_hbm = args[n_dma + 2]
+    vinvzT_hbm = args[n_dma + 3]
+    outs = list(args[n_dma + 4 : n_dma + 4 + emit_k + 2 + with_usnew])
+    rest = args[n_dma + 4 + emit_k + 2 + with_usnew :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
-    su, sq, sb, sems = rest
+    su, suw, sq, sqt, sb, sems = rest
 
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
 
-    def copies(j, s):
-        start = j * bx
-        lo1 = (start - 1 + n) % n
-        lo2 = (start - 2 + n) % n
-        hi = (start + bx) % n
-        hi2 = (start + bx + 1) % n
-        cps = [
+    # --- DMA plans (window layout: su/suw positions [0, bx+2] <->
+    # globals [start-2, start+bx]; sq positions [0, bx+3] <-> globals
+    # [start-2, start+bx+1]; stream positions [0, bx] <-> [start-1,
+    # start+bx-1])
+    def ut_full(s):
+        return [
             pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(start, bx)],
-                su.at[s, :, pl.ds(2, bx)],
-                sems.at[s, 0],
+                utprev_hbm.at[:, pl.ds(n - 2, 2)],
+                su.at[s, :, pl.ds(0, 2)], sems.at[s, 0],
             ),
             pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(lo1, 1)],
-                su.at[s, :, pl.ds(1, 1)],
-                sems.at[s, 1],
-            ),
-            pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(lo2, 1)],
-                su.at[s, :, pl.ds(0, 1)],
-                sems.at[s, 2],
-            ),
-            pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(hi, 1)],
-                su.at[s, :, pl.ds(bx + 2, 1)],
-                sems.at[s, 3],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(start, bx)],
-                sq.at[s, pl.ds(2, bx)],
-                sems.at[s, 4],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(lo1, 1)],
-                sq.at[s, pl.ds(1, 1)],
-                sems.at[s, 5],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(lo2, 1)],
-                sq.at[s, pl.ds(0, 1)],
-                sems.at[s, 6],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(hi, 1)],
-                sq.at[s, pl.ds(bx + 2, 1)],
-                sems.at[s, 7],
-            ),
-            pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(hi2, 1)],
-                sq.at[s, pl.ds(bx + 3, 1)],
-                sems.at[s, 8],
+                utprev_hbm.at[:, pl.ds(0, bx + 1)],
+                su.at[s, :, pl.ds(2, bx + 1)], sems.at[s, 1],
             ),
         ]
-        for q, st in enumerate(streams):
-            cps.append(
-                pltpu.make_async_copy(
-                    st.at[:, pl.ds(start, bx)],
-                    sb.at[s, q, :, pl.ds(1, bx)],
-                    sems.at[s, 9 + 2 * q],
-                )
-            )
-            cps.append(
-                pltpu.make_async_copy(
-                    st.at[:, pl.ds(lo1, 1)],
-                    sb.at[s, q, :, pl.ds(0, 1)],
-                    sems.at[s, 10 + 2 * q],
-                )
-            )
+
+    def ut_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(start + 1, bx - 1)],
+                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            utprev_hbm.at[:, pl.ds((start + bx) % n, 1)],
+            su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 1],
+        ))
         return cps
+
+    def q_full(s):
+        return [
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(n - 2, 2)],
+                sq.at[s, pl.ds(0, 2)], sems.at[s, 2],
+            ),
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(0, bx + 2)],
+                sq.at[s, pl.ds(2, bx + 2)], sems.at[s, 3],
+            ),
+        ]
+
+    def q_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > 2:
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(start + 2, bx - 2)],
+                sq.at[s, pl.ds(4, bx - 2)], sems.at[s, 2],
+            ))
+        cps.append(pltpu.make_async_copy(
+            qhat_hbm.at[pl.ds((start + bx) % n, 1)],
+            sq.at[s, pl.ds(bx + 2, 1)], sems.at[s, 3],
+        ))
+        cps.append(pltpu.make_async_copy(
+            qhat_hbm.at[pl.ds((start + bx + 1) % n, 1)],
+            sq.at[s, pl.ds(bx + 3, 1)], sems.at[s, 4],
+        ))
+        return cps
+
+    def s_full(s):
+        cps = []
+        for q in range(n_dma):
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(0, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 5 + 2 * q],
+            ))
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(n - 1, 1)],
+                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, 6 + 2 * q],
+            ))
+        return cps
+
+    def s_part(j, s):
+        start = j * bx
+        return [
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(start, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 5 + 2 * q],
+            )
+            for q in range(n_dma)
+        ]
 
     @pl.when(i == 0)
     def _():
-        for cp in copies(0, 0):
+        for cp in ut_full(0) + q_full(0) + s_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in copies(i + 1, (i + 1) % 2):
+        for cp in (ut_part(i + 1, 1 - slot) + q_part(i + 1, 1 - slot)
+                   + s_part(i + 1, 1 - slot)):
             cp.start()
 
-    for cp in copies(i, slot):
-        cp.wait()
+    @pl.when(i == 0)
+    def _():
+        for cp in ut_full(0) + q_full(0) + s_full(0):
+            cp.wait()
 
-    # inverse transform the bx+4 qhat planes: q = V_y @ qhat @ V_z^T
+    @pl.when(i > 0)
+    def _():
+        for cp in ut_part(i, slot) + q_part(i, slot) + s_part(i, slot):
+            cp.wait()
+
+    # --- reconstruction: u = ut_prev - grad(q) into suw[slot]
     vy_s = _prep_mat(vy_hbm, manualhigh)
     vzT_s = _prep_mat(vzT_hbm, manualhigh)
-    qplanes = []
-    for p in range(bx + 4):
-        t = _mm_h_left(vy_s, sq[slot, p], manualhigh)
-        qplanes.append(_mm_h(t, vzT_s, manualhigh))
-    qw = jnp.stack(qplanes)  # planes [start-2, start+bx+1]
 
-    # u = ut_prev - grad(q) on planes [start-2, start+bx] (bx+3)
-    qc = qw[: bx + 3]
-    uw = [
-        su[slot, 0] - (qw[1:] - qw[:-1]) / dx[0],
-        su[slot, 1] - (_rp(qc, 1) - qc) / dx[1],
-        su[slot, 2] - (_rp(qc, 2) - qc) / dx[2],
-    ]
+    def qtrans(p, s):
+        t = _mm_h_left(vy_s, sq[s, p], manualhigh)
+        return _mm_h(t, vzT_s, manualhigh)
+
+    def recon(qlist, lo):
+        """Store u planes for window positions [lo, bx+3) from q planes
+        qlist (positions [lo, bx+3] relative: qlist[r] pairs with u
+        position lo+r and qlist[r+1] above it)."""
+        w = bx + 3 - lo
+        qs = jnp.stack(qlist)  # (w+1, n, n)
+        qc = qs[:w]
+        suw[slot, 0, lo : bx + 3] = (
+            su[slot, 0, lo : bx + 3] - (qs[1:] - qs[:-1]) / dx[0]
+        )
+        suw[slot, 1, lo : bx + 3] = (
+            su[slot, 1, lo : bx + 3] - (_rp(qc, 1) - qc) / dx[1]
+        )
+        suw[slot, 2, lo : bx + 3] = (
+            su[slot, 2, lo : bx + 3] - (_rp(qc, 2) - qc) / dx[2]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        qlist = [qtrans(p, 0) for p in range(bx + 4)]
+        recon(qlist, 0)
+        sqt[:, :] = qlist[bx + 3]
+
+    @pl.when(i > 0)
+    def _():
+        # carried: u positions 0..2; transformed q top plane in sqt
+        qlist = [sqt[:, :]] + [qtrans(p, slot) for p in range(4, bx + 4)]
+        recon(qlist, 3)
+        sqt[:, :] = qlist[bx]
+
+    # ring carry for window i+1 (reconstruction above is complete)
+    @pl.when(i + 1 < nslab)
+    def _():
+        suw[1 - slot, :, 0:3] = suw[slot, :, bx : bx + 3]
+        for q in range(n_dma):
+            sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
     def at(a, lo_sh, hi_off):
-        return uw[a][lo_sh : bx + 3 + hi_off, :, :]
+        return suw[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
+    idx_bf = m + 1
+    idx_acc = idx_bf + with_bf
     _stage_tail(
         at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
@@ -2125,13 +2187,30 @@ def _pcmsd_hat_kernel(
         emit_k=emit_k, with_usnew=with_usnew,
         base=lambda a: sb[slot, 0, a],
         kstream=lambda q, a: sb[slot, q, a],
+        bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
+        usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
     )
+
+
+def pcmsd_profitable(n, n_dma):
+    """Whether the merged pc+momentum kernel should be used: profitable
+    only when its (larger) VMEM footprint still allows a slab of >= 4
+    planes — at bx=1 the per-window DMA-issue overhead dominates
+    (measured 512^3 RK44: 143 ms merged vs 96 ms unmerged; 256^3 at
+    bx=8: 9.5 vs 11.3 ms)."""
+    nout = 3 + 1 + 3
+    bx = _pick_bx(
+        n,
+        lambda b: 12 * (b + 3) + 2 * (b + 4) + 6 * n_dma * (b + 1)
+        + 2 * nout * b,
+    )
+    return min(bx, n // 2) >= 4
 
 
 def pcmsd_hat_3d(
     ut_prev, qhat, streams, coeffs, visc, dxs, proj,
     *, precision="manualhigh", bx=None, interpret=False,
-    emit_k=True, usnew_coeff=None,
+    emit_k=True, usnew_coeff=None, bodyforce=None, usnew_base=None,
 ):
     """Merged pressure-correction + momentum + stage + divergence, one
     HBM pass: reconstructs ``u = ut_prev - grad(q)`` in VMEM (q's
@@ -2139,31 +2218,44 @@ def pcmsd_hat_3d(
     the next stage's tableau accumulation / divergence / z/y-forward
     transform — the corrected velocity never touches HBM between
     interior RK stages.  ``proj`` is a `make_fused_projection` dict.
-    Output layout matches `momentum_stage_divhat_3d`.
+    Output layout matches `momentum_stage_divhat_3d`; ``bodyforce`` and
+    ``usnew_base`` (the RK b-row accumulator) ride as extra DMA streams
+    exactly as there.
 
-    NOT on the production fast path: measured end-to-end it LOSES to the
-    unmerged chain (256^3 RK44 14.2 vs 13.3 ms/step, 128^3 6.4 vs 2.7 on
-    v5e) — at that point the stage kernels are compute-bound and the
-    merge adds (bx+4)/bx inverse-transform recompute per slab.  Kept as
-    a correctness-tested building block (tests/test_pallas_kernel.py)
-    for configurations where DMA, not compute, binds."""
+    With the ring-carry reconstruction (see `_pcmsd_hat_kernel`) this IS
+    the production interior-stage kernel: it saves the corrected
+    velocity's HBM write+read per stage vs the unmerged
+    pc_qhat -> msd_hat chain at identical MXU cost (round 2's merged
+    form lost because it re-transformed (bx+4)/bx of q per slab)."""
     D, n, ny, nz = ut_prev.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
     coeffs = tuple(coeffs)
     m = len(streams) - 1
     assert len(coeffs) == m + 1
+    with_bf = bodyforce is not None
+    with_accbase = usnew_base is not None
+    assert not (with_accbase and usnew_coeff is None)
+    dma_streams = streams
+    if with_bf:
+        dma_streams = dma_streams + (bodyforce,)
+    if with_accbase:
+        dma_streams = dma_streams + (usnew_base,)
+    n_dma = len(dma_streams)
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
     if bx is None:
         nout = 3 * int(emit_k) + 3 + 1 + 3 * int(with_usnew)
         bx = _pick_bx(
             n,
-            lambda b: 6 * (b + 3) + 2 * (b + 4) + 6 * (m + 1) * (b + 1)
+            lambda b: 12 * (b + 3) + 2 * (b + 4) + 6 * n_dma * (b + 1)
             + 2 * nout * b,
         )
     while n % bx != 0:
         bx //= 2
+    if bx == n:  # ring-carry window layout needs >= 2 windows
+        bx //= 2
+    assert n >= bx + 2 and n % bx == 0, (n, bx)
     kernel = functools.partial(
         _pcmsd_hat_kernel,
         visc=float(visc),
@@ -2175,6 +2267,8 @@ def pcmsd_hat_3d(
         m=m,
         emit_k=emit_k,
         with_usnew=with_usnew,
+        with_bf=with_bf,
+        with_accbase=with_accbase,
     )
     all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
     coeff_arr = jnp.stack(
@@ -2201,22 +2295,27 @@ def pcmsd_hat_3d(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (m + 3)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_dma + 2)
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx + 3, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, 3, bx + 3, n, n), ut_prev.dtype),
             pltpu.VMEM((2, bx + 4, n, n), ut_prev.dtype),
-            pltpu.VMEM((2, m + 1, 3, bx + 1, n, n), ut_prev.dtype),
-            pltpu.SemaphoreType.DMA((2, 9 + 2 * (m + 1))),
+            pltpu.VMEM((n, n), ut_prev.dtype),
+            pltpu.VMEM((2, n_dma, 3, bx + 1, n, n), ut_prev.dtype),
+            pltpu.SemaphoreType.DMA((2, 5 + 2 * n_dma)),
         ],
+        # 120 MB: at 512^3 even bx=1 sits at ~110.1 MB (the ring-carry
+        # makes HBM traffic bx-independent, so the shallow slab costs
+        # only DMA-issue overhead, not bandwidth)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=interpret,
     )(
-        coeff_arr, ut_prev, qhat, *streams,
+        coeff_arr, ut_prev, qhat, *dma_streams,
         proj["V"], proj["VT"], proj["Vinv"], proj["VinvT"],
     )
 

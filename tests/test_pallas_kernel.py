@@ -351,6 +351,18 @@ def test_pcmsd_matches_pc_then_msd():
     assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 1e-3
     assert float(jnp.max(jnp.abs(usn - (ustart + 0.25 * k_ref)))) < 1e-3
 
+    # bodyforce stream + b-row accumulator stream (usnew_base), as used
+    # by the merged production chain (fastpath step_merged)
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    accb = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ut3, dh3, usn3 = pcmsd_hat_3d(
+        ut_prev, qhat, (ustart, k1), (c1, cn), visc, dx, proj,
+        interpret=True, emit_k=False, usnew_coeff=0.25,
+        bodyforce=bf, usnew_base=accb,
+    )
+    assert float(jnp.max(jnp.abs(ut3 - (ut_ref + cn * bf)))) < 1e-3
+    assert float(jnp.max(jnp.abs(usn3 - (accb + 0.25 * (k_ref + bf))))) < 1e-3
+
 
 def test_pressure_correct_kernel_matches_rolls():
     """pressure_correct_3d: u = ut - grad(q) == roll-graph reference."""
