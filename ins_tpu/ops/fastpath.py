@@ -202,7 +202,6 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         pcmsd_profitable,
         pressure_correct_3d,
         pressure_correct_qhat_3d,
-        smagorinsky_force_3d,
         stage_div_3d,
     )
 
@@ -366,18 +365,16 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             Np, dxs, setup.dtype, precision=projection_precision
         )
 
-    def stage_force(u, theta):
-        """Per-stage extra force stream for the fused stage kernel:
-        the fused Smagorinsky kernel (with the steady body force folded
-        into its output) or the static body-force field."""
-        if _smag:
-            return smagorinsky_force_3d(
-                u, theta, dxs, bodyforce=bodyforce_int
-            )
-        return bodyforce_int
+    _smag_d2 = float(sum(d * d for d in dxs)) if _smag else None
+
+    def smag_arg(theta):
+        """Fused-Smagorinsky kernel argument: the force is computed IN
+        the stage kernel from a widened u window (no separate force
+        pass, no HBM round-trip)."""
+        return (theta, _smag_d2) if _smag else None
 
     def fused_stage_hat(u, streams, coeffs, *, force, emit_k=True,
-                        usnew_coeff=None, usnew_base=None):
+                        usnew_coeff=None, usnew_base=None, smag=None):
         """momentum + tableau accumulation + divergence in one kernel
         pass, then the Poisson pass B: returns
         (k|None, ut, qhat, usnew|None) with the pressure correction
@@ -385,7 +382,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         kernel reconstruct u in VMEM).  ``streams`` is (ustart, k_j...)
         with ``coeffs`` their tableau coefficients plus the new k's
         coefficient last (the base axpy never materializes in HBM).
-        ``force`` is the stage's extra force stream (see `stage_force`).
+        ``force`` is the stage's extra force stream (the steady body
+        force); ``smag`` fuses the Smagorinsky force (see `smag_arg`).
         ``emit_k=False`` skips the k write (final stages);
         ``usnew_coeff`` fuses the low-storage accumulator update
         ``base + c*k`` as an extra kernel output (base = ``usnew_base``
@@ -395,7 +393,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             proj["Vinv"], proj["VinvT"],
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
-            precision=projection_precision,
+            precision=projection_precision, smag=smag,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -428,12 +426,12 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         )
 
     def fused_stage(u, streams, coeffs, *, force, emit_k=True,
-                    usnew_coeff=None, usnew_base=None):
+                    usnew_coeff=None, usnew_base=None, smag=None):
         """`fused_stage_hat` + the correction applied — returns
         (k|None, u_next, usnew|None)."""
         k, ut, qhat, usnew = fused_stage_hat(
             u, streams, coeffs, force=force, emit_k=emit_k,
-            usnew_coeff=usnew_coeff, usnew_base=usnew_base,
+            usnew_coeff=usnew_coeff, usnew_base=usnew_base, smag=smag,
         )
         return k, correct(ut, qhat), usnew
 
@@ -502,14 +500,16 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                     if i == ns - 1:
                         _, u, _ = fused_stage(
                             u, (acc,), (dt * A[i][i],),
-                            force=stage_force(u, theta), emit_k=False,
+                            force=bodyforce_int, smag=smag_arg(theta),
+                            emit_k=False,
                         )
                     else:
                         bcoef = A[ns - 1][i]
                         unc = dt * bcoef if bcoef != 0.0 else None
                         _, u, usnew = fused_stage(
                             u, (ustart,), (dt * A[i][i],),
-                            force=stage_force(u, theta), emit_k=False,
+                            force=bodyforce_int, smag=smag_arg(theta),
+                            emit_k=False,
                             usnew_coeff=unc,
                             usnew_base=(
                                 acc
@@ -530,7 +530,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                             coeffs.append(dt * A[i][j])
                     coeffs.append(dt * A[i][i])
                     k, u, _ = fused_stage(
-                        u, streams, coeffs, force=stage_force(u, theta),
+                        u, streams, coeffs, force=bodyforce_int,
+                        smag=smag_arg(theta),
                         emit_k=(i < ns - 1),
                     )
                     if k is not None:
@@ -602,7 +603,8 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                     # ustart += dt*b_i*du is a fused kernel output
                     _, u, usnew = fused_stage(
                         u, (ustart,), (dt * a_[i],),
-                        force=stage_force(u, theta), emit_k=False,
+                        force=bodyforce_int, smag=smag_arg(theta),
+                            emit_k=False,
                         usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
                     )
                     if i < ns - 1:

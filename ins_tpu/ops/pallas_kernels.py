@@ -678,6 +678,7 @@ def _msd_hat_kernel(
     coeffs_smem, u_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
     with_bf=False, with_accbase=False, u_is_stream0=False,
+    smag_d2=None,
 ):
     """_momentum_stage_div_kernel + in-kernel tableau accumulation +
     z/y forward eigen-transform of the divergence.
@@ -724,47 +725,56 @@ def _msd_hat_kernel(
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
+    with_smag = smag_d2 is not None
+    # u-window ghost widths: the conv-diff stencil needs x-radius (2, 1)
+    # around the (bx+1)-plane momentum eval; the fused Smagorinsky force
+    # widens it to (3, 2).  Positions [0, W) <-> globals
+    # [start-ng_lo, start+bx+ng_hi-1]; streams: positions [0, bx] <->
+    # globals [start-1, start+bx-1].
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
+    W = bx + ng
 
-    # Window layout — u: positions [0, bx+2] <-> globals [start-2,
-    # start+bx]; streams: positions [0, bx] <-> globals [start-1,
-    # start+bx-1].
     def u_full(s):
         # window 0 (the only one whose low planes wrap)
         cps = [
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(n - 2, 2)],
-                su.at[s, :, pl.ds(0, 2)], sems.at[s, 0],
+                u_hbm.at[:, pl.ds(n - ng_lo, ng_lo)],
+                su.at[s, :, pl.ds(0, ng_lo)], sems.at[s, 0],
             )
         ]
         if nslab == 1:
+            assert ng_hi == 1, "single-window smag slab unsupported"
             cps.append(pltpu.make_async_copy(
                 u_hbm.at[:, pl.ds(0, bx)],
-                su.at[s, :, pl.ds(2, bx)], sems.at[s, 1],
+                su.at[s, :, pl.ds(ng_lo, bx)], sems.at[s, 1],
             ))
             cps.append(pltpu.make_async_copy(
                 u_hbm.at[:, pl.ds(0, 1)],
-                su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 2],
+                su.at[s, :, pl.ds(W - 1, 1)], sems.at[s, 2],
             ))
         else:
             cps.append(pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(0, bx + 1)],
-                su.at[s, :, pl.ds(2, bx + 1)], sems.at[s, 1],
+                u_hbm.at[:, pl.ds(0, bx + ng_hi)],
+                su.at[s, :, pl.ds(ng_lo, bx + ng_hi)], sems.at[s, 1],
             ))
         return cps
 
     def u_part(j, s):
-        # window j > 0: positions 0..2 carried; DMA only the new planes
+        # window j > 0: positions 0..ng-1 carried; DMA only the new
+        # planes (the last ng_hi may wrap)
         start = j * bx
         cps = []
-        if bx > 1:
+        if bx > ng_hi:
             cps.append(pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start + 1, bx - 1)],
-                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+                u_hbm.at[:, pl.ds(start + ng_hi, bx - ng_hi)],
+                su.at[s, :, pl.ds(ng, bx - ng_hi)], sems.at[s, 0],
             ))
-        cps.append(pltpu.make_async_copy(
-            u_hbm.at[:, pl.ds((start + bx) % n, 1)],
-            su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 1],
-        ))
+        for t in range(ng_hi):
+            cps.append(pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds((start + bx + t) % n, 1)],
+                su.at[s, :, pl.ds(W - ng_hi + t, 1)], sems.at[s, 1 + t],
+            ))
         return cps
 
     def s_full(s):
@@ -815,15 +825,17 @@ def _msd_hat_kernel(
     # slot 1-slot target disjoint plane ranges)
     @pl.when(i + 1 < nslab)
     def _():
-        su[1 - slot, :, 0:3] = su[slot, :, bx : bx + 3]
+        su[1 - slot, :, 0:ng] = su[slot, :, bx : bx + ng]
         for q in range(n_dma):
             sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
+    off = ng_lo - 2  # conv-diff sub-window offset inside the u window
+
     def at(a, lo_sh, hi_off):
-        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+        return su[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
 
     if u_is_stream0:
-        base = lambda a: su[slot, a, 1 : bx + 2]  # noqa: E731
+        base = lambda a: su[slot, a, off + 1 : off + bx + 2]  # noqa: E731
         idx_bf = 0
     else:
         base = lambda a: sb[slot, 0, a]  # noqa: E731
@@ -840,6 +852,12 @@ def _msd_hat_kernel(
         kstream=lambda q, a: sb[slot, q, a],
         bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
+        smag=(
+            (coeffs_smem[m + 1 + with_usnew], smag_d2,
+             lambda a: su[slot, a, 0:W])
+            if with_smag
+            else None
+        ),
     )
 
 
@@ -848,6 +866,7 @@ def _stage_tail(
     vinvy_hbm, vinvzT_hbm,
     *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew,
     base=None, kstream=None, bf=None, acc=None, usnew_base=None,
+    smag=None,
 ):
     """Shared stage tail: conv-diff on the window, optional k / usnew
     outputs, tableau accumulation, divergence, z/y forward transform.
@@ -861,10 +880,24 @@ def _stage_tail(
     guarantees m == 0 so acc IS the ustart window).
     ``usnew_base``: optional accessor for a SEPARATE usnew base window
     (the RK b-row accumulator: usnew = usnew_base + c*k instead of
-    ustart + c*k)."""
+    ustart + c*k).
+    ``smag``: optional ``(theta, d2, ufull)`` — the natural-form
+    Smagorinsky force computed IN the stage kernel from the widened
+    (bx+5)-plane u window accessor ``ufull(a)`` (x-radius 2; reference
+    runs it as a separate sweep, src/eddyviscosity.jl:48-156) and added
+    to the momentum eval."""
+    smf = None
+    if smag is not None:
+        theta, d2, ufull = smag
+        smf = _smag_body(
+            ufull(0), ufull(1), ufull(2), theta,
+            dx=dx, d2=d2, bx=bx + 1, w=bx + 5,
+        )
     d = None
     for a in range(3):
         f = _convdiff_window(at, visc, dx, a)
+        if smf is not None:
+            f = f + smf[a]
         if bf is not None:
             f = f + bf(a)
         if emit_k:
@@ -1042,7 +1075,7 @@ def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, stream_accum=None,
-    usnew_base=None,
+    usnew_base=None, smag=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -1073,7 +1106,12 @@ def momentum_stage_divhat_3d(
     b-row accumulator: usnew = usnew_base + usnew_coeff*k instead of
     streams[0] + ...), riding as one more DMA stream.  When
     ``streams == (u_int,)`` (stage 0: ustart IS u) the redundant stream
-    DMA is elided and the base is read from the u window."""
+    DMA is elided and the base is read from the u window.
+
+    ``smag``: optional ``(theta, d2)`` — fuse the natural-form
+    Smagorinsky force into the kernel (widened u window, force computed
+    in `_stage_tail`): the separate force kernel pass and its HBM
+    round-trip disappear."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -1082,6 +1120,7 @@ def momentum_stage_divhat_3d(
     assert len(coeffs) == m + 1
     with_bf = bodyforce is not None
     with_accbase = usnew_base is not None
+    with_smag = smag is not None
     assert not (with_accbase and usnew_coeff is None)
     u_is_stream0 = m == 0 and streams[0] is u_int
     nst = m + 1 + with_bf + with_accbase
@@ -1097,20 +1136,32 @@ def momentum_stage_divhat_3d(
     # it whenever that buys a deeper slab (deep tableau rows at 512^3;
     # the ring-carry full-prefetch kernel is otherwise strictly better —
     # it never re-reads ghost planes)
-    bx_full = _pick_bx(n, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b)
+    if with_smag:
+        # widened window + the smag body's strain/stress temporaries
+        # (~13 single-buffered windows of bx+5 planes)
+        bx_full = _pick_bx(
+            n, lambda b: 6 * (b + 5) + 6 * n_dma * (b + 1) + 14 * b
+            + 20 * (b + 5)
+        )
+    else:
+        bx_full = _pick_bx(
+            n, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b
+        )
     bx_stream = _pick_bx(n, lambda b: 6 * (b + 3) + 9 * (b + 1) + 14 * b)
     if stream_accum is None:
         stream_accum = (
             nst >= 2
             and bx_stream > bx_full
-            and not (with_accbase or u_is_stream0)
+            and not (with_accbase or u_is_stream0 or with_smag)
         )
     if stream_accum and with_usnew:
         assert m == 0, "streaming usnew needs acc == ustart (m == 0)"
-    assert not (stream_accum and (with_accbase or u_is_stream0))
+    assert not (stream_accum and (with_accbase or u_is_stream0 or with_smag))
     if bx is None:
         bx = bx_stream if stream_accum else bx_full
     while n % bx != 0:
+        bx //= 2
+    if with_smag and bx == n:  # the wide window needs >= 2 slabs
         bx //= 2
     kw = (
         dict(with_bf=with_bf)
@@ -1119,6 +1170,7 @@ def momentum_stage_divhat_3d(
             with_bf=with_bf,
             with_accbase=with_accbase,
             u_is_stream0=u_is_stream0,
+            smag_d2=(float(smag[1]) if with_smag else None),
         )
     )
     kernel = functools.partial(
@@ -1134,7 +1186,11 @@ def momentum_stage_divhat_3d(
         with_usnew=with_usnew,
         **kw,
     )
-    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    all_coeffs = (
+        list(coeffs)
+        + ([usnew_coeff] if with_usnew else [])
+        + ([smag[0]] if with_smag else [])
+    )
     coeff_arr = jnp.stack(
         [jnp.asarray(c, u_int.dtype) for c in all_coeffs]
     ).reshape(len(all_coeffs))
@@ -1163,7 +1219,8 @@ def momentum_stage_divhat_3d(
             pltpu.SemaphoreType.DMA((2, 6)),
         ]
     else:
-        scratch = [pltpu.VMEM((2, 3, bx + 3, n, n), u_int.dtype)]
+        W = bx + (5 if with_smag else 3)
+        scratch = [pltpu.VMEM((2, 3, W, n, n), u_int.dtype)]
         if n_dma:
             scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, n, n),
                                       u_int.dtype))

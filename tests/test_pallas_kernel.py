@@ -262,6 +262,54 @@ def test_momentum_stage_divhat_bodyforce():
     assert float(jnp.max(jnp.abs(ut - (ut0 + cn * bf)))) < 1e-4
 
 
+def test_momentum_stage_divhat_fused_smagorinsky():
+    """Smagorinsky force fused INTO the stage kernel (widened u window,
+    force computed in _stage_tail) == the separate force kernel feeding
+    the bodyforce stream."""
+    from ins_tpu.ops.pallas_kernels import (
+        momentum_stage_divhat_3d,
+        smagorinsky_force_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    theta = jnp.float32(0.17)
+    d2 = float(sum(d * d for d in dx))
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    cn = 0.23
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    F = smagorinsky_force_3d(u, theta, dx, interpret=True)
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        bodyforce=F, interpret=True,
+    )
+    for bx in (None, 2):
+        k, ut, dh = momentum_stage_divhat_3d(
+            u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+            smag=(theta, d2), interpret=True, bx=bx,
+        )
+        assert float(jnp.max(jnp.abs(k - k_ref))) < 1e-5
+        assert float(jnp.max(jnp.abs(ut - ut_ref))) < 1e-5
+        assert float(jnp.max(jnp.abs(dh - dh_ref))) < 1e-3
+
+    # with usnew and a steady body force riding alongside
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ut2, dh2, usn = momentum_stage_divhat_3d(
+        u, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        smag=(theta, d2), bodyforce=bf, emit_k=False, usnew_coeff=0.4,
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(ut2 - (ut_ref + cn * bf)))) < 1e-5
+    assert float(
+        jnp.max(jnp.abs(usn - (ustart + 0.4 * (k_ref + bf))))
+    ) < 1e-4
+
+
 def test_kernels_on_halo_padded_slabs():
     """The periodic slab kernels applied to a halo-padded x-slab (non-cube
     box) reproduce the periodic full-box result on the interior planes —
