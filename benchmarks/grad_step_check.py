@@ -1,6 +1,7 @@
 """Measure the a-posteriori training grad-step at 128^3 (VERDICT r2 #4
 done-bar): jitted grad of create_loss_post (CNN closure, 5-step RK44
-unroll) through the differentiable fast path vs the ghosted slice graph.
+unroll, remat per step — the unrolled residuals alone are ~33 GB at
+128^3) through the differentiable fast path vs the ghosted slice graph.
 """
 import os
 import sys
@@ -48,7 +49,7 @@ psolver = ins.psolver_spectral(setup)
 def timeit(tag):
     loss = create_loss_post(
         setup=setup, method=ins.RKMethods.RK44(), psolver=psolver,
-        closure_model=model, nsubstep=1,
+        closure_model=model, nsubstep=1, remat=True,
     )
     g = jax.jit(jax.grad(lambda th: loss(data, th)))
     t0 = time.time()

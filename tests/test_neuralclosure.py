@@ -268,3 +268,35 @@ def test_loss_post_remat_matches():
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_cnn_chunked_matches_direct():
+    """Large-3D x-chunked CNN evaluation == the direct conv stack (the
+    chunked path bounds XLA's channel-minor pad blowup; cnn.py module
+    docstring)."""
+    import ins_tpu as ins
+    from ins_tpu.models import cnn
+
+    n = 64  # >= 4 * chunk_x -> chunked path
+    x = (np.linspace(0.0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3,
+                      dtype=jnp.float32)
+    closure, theta = cnn(
+        setup=setup, radii=[2, 1], channels=[6, 3],
+        activations=[jnp.tanh, lambda v: v], use_bias=[True, False],
+        rng=jax.random.PRNGKey(0),
+    )
+    u = jax.random.normal(jax.random.PRNGKey(1), (2, n, n, n, 3),
+                          jnp.float32)
+    out_chunked = closure(u, theta)
+
+    # direct path: same params, chunking disabled via a huge chunk_x
+    from ins_tpu.models.cnn import CNN
+
+    model = CNN(radii=(2, 1), channels=(6, 3),
+                activations=(jnp.tanh, lambda v: v),
+                use_bias=(True, False), dtype=jnp.float32,
+                chunk_x=10**6)
+    out_direct = model.apply({"params": theta}, u)
+    assert float(jnp.max(jnp.abs(out_chunked - out_direct))) < 1e-5
