@@ -42,7 +42,8 @@ class CNN(nn.Module):
     def __call__(self, x):
         D = x.ndim - 2
         assert self.channels[-1] == D, "Output must have D force channels"
-        x = collocate(x)  # (N, *spatial, D)
+        in_dtype = x.dtype
+        x = collocate(x).astype(self.dtype)  # (N, *spatial, D)
         dn = _DN[D]
         kinit = jax.nn.initializers.lecun_normal()
         ws, bs = [], []
@@ -95,7 +96,7 @@ class CNN(nn.Module):
             )
         else:
             out = stack(x, pad_x=True)
-        return decollocate(out)
+        return decollocate(out.astype(in_dtype))
 
 
 def cnn(*, setup, radii, channels, activations, use_bias, rng):

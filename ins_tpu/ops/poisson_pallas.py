@@ -123,39 +123,32 @@ def _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, iy0,
     out_ref[...] = _dot_h(vx_ref[...], g, prec, dn)
 
 
-def _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref, iy0,
-                     *, by, n, prec, eps, dxs, vol):
-    """Radix-2 (decimation-in-frequency) folded pass B — HALF the MXU
-    work of `_passB_body`.
+def _passB_fold_body(h_ref, mat_refs, out_ref, iy0,
+                     *, by, n, prec, eps, dxs, vol, levels):
+    """Radix-2 (decimation-in-frequency) folded pass B.
 
     Even-frequency basis functions are n/2-periodic (symmetric under the
     half-domain shift j -> j + n/2), odd-frequency ones antisymmetric,
     so with e = h[:n/2] + h[n/2:] and o = h[:n/2] - h[n/2:] the n x n
-    transforms split into four (n/2) x (n/2) matmuls on CONTIGUOUS
-    slices (no data reversal — the (j, n-j) reflection pairing would
-    need one, and Mosaic has no rev):
+    transform matmuls split into (n/2)-sized ones on CONTIGUOUS slices
+    (no data reversal — the (j, n-j) reflection pairing would need one,
+    and Mosaic has no rev):
 
-        g_e = R_e @ e   (frequencies k = 0, 2, 4, ..., n/2)
-        g_o = R_o @ o   (frequencies k = 1, 3, ..., n/2-1)
-        q_e = S_e @ (g_e * inv_den_e);  q_o = S_o @ (g_o * inv_den_o)
+        g_o = R_o @ o   (frequencies k = 2*(r//2) + 1)
+        q_o = S_o @ (g_o * inv_den)
+        q_e = 0.5 * solve_{n/2}(e)   (the even half-basis IS the
+              n/2-point eigenbasis scaled by 1/sqrt(2), with true
+              frequencies 2k' — so the even branch RECURSES)
         out[:n/2] = q_e + q_o;  out[n/2:] = q_e - q_o
 
-    Row r of the even branch carries frequency k_e(r) = 2*((r+1)//2)
-    (ordering [const, cos_2, sin_2, ..., Nyquist]); the odd branch
-    k_o(r) = 2*(r//2) + 1.  The y/z directions stay in the standard
-    paired ordering."""
-    n2 = n // 2
+    One fold halves the MXU work; each recursion level removes another
+    quarter of the remainder (512^3 with 2 levels: 0.375x the dense
+    cost).  ``mat_refs``: [R_o^0, S_o^0, ..., R_o^{L-1}, S_o^{L-1},
+    Vinv_leaf, V_leaf].  The y/z directions stay in the standard paired
+    ordering."""
     dn = (((1,), (0,)), ((), ()))
-    h = h_ref[...]
-    e = h[:n2] + h[n2:]
-    o = h[:n2] - h[n2:]
-    ge = _dot_h(re_ref[...], e, prec, dn)
-    go = _dot_h(ro_ref[...], o, prec, dn)
-
-    shape = (n2, by, n)
-    ir = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + iy0
-    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, by, n), 1) + iy0
+    iz = jax.lax.broadcasted_iota(jnp.int32, (1, by, n), 2)
     lam_yz = _lam(iy, 1, n, dxs) + _lam(iz, 2, n, dxs)
 
     def lamx(k):
@@ -169,12 +162,26 @@ def _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref, iy0,
         )
         return g * inv
 
-    ge = scale(ge, 2 * ((ir + 1) // 2))
-    go = scale(go, 2 * (ir // 2) + 1)
-    qe = _dot_h(se_ref[...], ge, prec, dn)
-    qo = _dot_h(so_ref[...], go, prec, dn)
-    out_ref[:n2] = qe + qo
-    out_ref[n2:] = qe - qo
+    def solve(hb, lvl, kmul):
+        nn = hb.shape[0]
+        if lvl == levels:
+            rl = mat_refs[2 * levels][...]
+            vl = mat_refs[2 * levels + 1][...]
+            g = _dot_h(rl, hb, prec, dn)
+            ir = jax.lax.broadcasted_iota(jnp.int32, (nn, 1, 1), 0)
+            g = scale(g, kmul * ((ir + 1) // 2))
+            return _dot_h(vl, g, prec, dn)
+        n2 = nn // 2
+        e = hb[:n2] + hb[n2:]
+        o = hb[:n2] - hb[n2:]
+        go = _dot_h(mat_refs[2 * lvl][...], o, prec, dn)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0)
+        go = scale(go, kmul * (2 * (ir // 2) + 1))
+        qo = _dot_h(mat_refs[2 * lvl + 1][...], go, prec, dn)
+        qe = 0.5 * solve(e, lvl + 1, 2 * kmul)
+        return jnp.concatenate([qe + qo, qe - qo], axis=0)
+
+    out_ref[...] = solve(h_ref[...], 0, 1)
 
 
 def _passB_kernel(h_ref, vinvx_ref, vx_ref, out_ref,
@@ -193,20 +200,23 @@ def _passB_yoff_kernel(yoff_smem, h_ref, vinvx_ref, vx_ref, out_ref,
                 by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol)
 
 
-def _passB_fold_kernel(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
-                       *, by, n, prec, eps, dxs, vol):
+def _passB_fold_kernel(h_ref, *args, by, n, prec, eps, dxs, vol, levels):
+    mat_refs = args[:-1]
+    out_ref = args[-1]
     j = pl.program_id(0)
-    _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
-                     j * by, by=by, n=n, prec=prec, eps=eps, dxs=dxs,
-                     vol=vol)
+    _passB_fold_body(h_ref, mat_refs, out_ref, j * by,
+                     by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol,
+                     levels=levels)
 
 
-def _passB_fold_yoff_kernel(yoff_smem, h_ref, re_ref, ro_ref, se_ref,
-                            so_ref, out_ref, *, by, n, prec, eps, dxs, vol):
+def _passB_fold_yoff_kernel(yoff_smem, h_ref, *args,
+                            by, n, prec, eps, dxs, vol, levels):
+    mat_refs = args[:-1]
+    out_ref = args[-1]
     j = pl.program_id(0)
-    _passB_fold_body(h_ref, re_ref, ro_ref, se_ref, so_ref, out_ref,
-                     j * by + yoff_smem[0], by=by, n=n, prec=prec, eps=eps,
-                     dxs=dxs, vol=vol)
+    _passB_fold_body(h_ref, mat_refs, out_ref, j * by + yoff_smem[0],
+                     by=by, n=n, prec=prec, eps=eps, dxs=dxs, vol=vol,
+                     levels=levels)
 
 
 def _passC_kernel(h_ref, vy_ref, vzT_ref, out_ref, *, bx, n, prec):
@@ -231,42 +241,61 @@ def poisson_eigen_consts(Np, dxs, dtype):
     return c(V), c(Vinv), eps
 
 
-def poisson_fold_consts(Np, dxs, dtype):
-    """(R_e, R_o, S_e, S_o, eps) for the radix-2 folded pass B (see
-    `_passB_fold_body`): the even/odd-frequency row/column selections of
-    the x eigenbasis restricted to the first half of the domain.
-    Requires n % 4 == 0 (so the Nyquist mode is even-frequency and the
-    closed-form row->frequency maps hold)."""
+def fold_levels_default(n):
+    """Recursion depth for the folded pass B: keep the leaf transform
+    >= 128 wide (MXU lane width) in production; a single fold
+    otherwise.  Every folded size must satisfy n_d % 4 == 0 (the
+    Nyquist mode must stay even-frequency for the closed-form
+    row->frequency maps)."""
+    levels = 0
+    n_d = n
+    while n_d % 4 == 0 and n_d // 2 >= 128 and levels < 2:
+        levels += 1
+        n_d //= 2
+    if levels == 0 and n % 4 == 0:
+        levels = 1
+    return levels
+
+
+def poisson_fold_consts(Np, dxs, dtype, levels=None):
+    """(mats, levels, eps) for the radix-2 folded pass B (see
+    `_passB_fold_body`): per recursion level the odd-frequency
+    row/column selections of the level's x eigenbasis restricted to the
+    first half of its domain, then the leaf basis pair.  The EVEN
+    half-basis of a level IS the next level's full basis scaled by
+    1/sqrt(2), which is what makes the recursion exact.
+
+    ``mats`` = [R_o^0, S_o^0, ..., R_o^{L-1}, S_o^{L-1}, Vinv_L, V_L].
+    """
     n = Np[0]
-    assert n % 4 == 0, n
-    V, Vinv, _ = fourier_eigenbasis(n, dxs[0])  # float64 numpy
-    n2 = n // 2
-    even_idx = [0]
-    for k in range(2, n2, 2):
-        even_idx += [2 * k - 1, 2 * k]
-    even_idx += [n - 1]  # Nyquist (k = n/2, even since n % 4 == 0)
-    odd_idx = []
-    for k in range(1, n2, 2):
-        odd_idx += [2 * k - 1, 2 * k]
-    assert len(even_idx) == n2 and len(odd_idx) == n2
+    if levels is None:
+        levels = fold_levels_default(n)
     c = lambda a: jnp.asarray(np.ascontiguousarray(a), dtype)
+    mats = []
+    n_d = n
+    for _ in range(levels):
+        assert n_d % 4 == 0, (n, levels, n_d)
+        V, Vinv, _ = fourier_eigenbasis(n_d, dxs[0])  # float64 numpy
+        n2 = n_d // 2
+        odd_idx = []
+        for k in range(1, n2, 2):
+            odd_idx += [2 * k - 1, 2 * k]
+        assert len(odd_idx) == n2
+        mats += [c(Vinv[odd_idx][:, :n2]), c(V[:n2][:, odd_idx])]
+        n_d = n2
+    V, Vinv, _ = fourier_eigenbasis(n_d, dxs[0])
+    mats += [c(Vinv), c(V)]
     vol = float(np.prod(dxs))
     maxden = 0.0
     for d in range(3):
         _, _, lam_d = fourier_eigenbasis(Np[d], dxs[d])
         maxden += np.max(np.abs(lam_d)) * vol
     eps = float(1e-12 * maxden)
-    return (
-        c(Vinv[even_idx][:, :n2]),
-        c(Vinv[odd_idx][:, :n2]),
-        c(V[:n2][:, even_idx]),
-        c(V[:n2][:, odd_idx]),
-        eps,
-    )
+    return mats, levels, eps
 
 
 def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
-                        bx=8, by=8, interpret=False):
+                        bx=8, by=8, interpret=False, fold_levels=None):
     """Build `solve(f) -> p` (volume-scaled Laplacian, zero-mean pinned),
     equivalent to ops/dft.py `make_poisson_mm` but in 3 Pallas HBM passes.
     """
@@ -301,18 +330,18 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
     )
     fold = n % 4 == 0
     if fold:
-        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        mats, levels, _ = poisson_fold_consts(Np, dxs, dtype,
+                                              levels=fold_levels)
         passB_raw = pl.pallas_call(
             functools.partial(
                 _passB_fold_kernel, by=by, n=n, prec=prec, eps=eps,
-                dxs=tuple(map(float, dxs)), vol=vol,
+                dxs=tuple(map(float, dxs)), vol=vol, levels=levels,
             ),
             grid=(n // by,),
             in_specs=[
                 pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
                              memory_space=pltpu.VMEM),
-                mm, mm, mm, mm,
-            ],
+            ] + [mm] * len(mats),
             out_specs=pl.BlockSpec(
                 (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
             ),
@@ -320,7 +349,7 @@ def make_poisson_pallas(Np, dxs, dtype, *, precision="manualhigh",
             compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )
-        passB = lambda h, _vi, _v: passB_raw(h, Re, Ro, Se, So)
+        passB = lambda h, _vi, _v: passB_raw(h, *mats)
     else:
         passB = pl.pallas_call(
             functools.partial(
@@ -388,18 +417,17 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
     mm = pl.BlockSpec(memory_space=pltpu.VMEM)
     fold = n % 4 == 0
     if fold:
-        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        mats, levels, _ = poisson_fold_consts(Np, dxs, dtype)
         passB_raw = pl.pallas_call(
             functools.partial(
                 _passB_fold_kernel, by=by, n=n, prec=prec, eps=eps,
-                dxs=tuple(map(float, dxs)), vol=vol,
+                dxs=tuple(map(float, dxs)), vol=vol, levels=levels,
             ),
             grid=(n // by,),
             in_specs=[
                 pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
                              memory_space=pltpu.VMEM),
-                mm, mm, mm, mm,
-            ],
+            ] + [mm] * len(mats),
             out_specs=pl.BlockSpec(
                 (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
             ),
@@ -407,7 +435,7 @@ def make_fused_projection(Np, dxs, dtype, *, precision="manualhigh", by=8,
             compiler_params=_VMEM_LIMIT,
             interpret=interpret,
         )
-        passB_fn = lambda h: passB_raw(h, Re, Ro, Se, So)
+        passB_fn = lambda h: passB_raw(h, *mats)
     else:
         passB = pl.pallas_call(
             functools.partial(
@@ -461,19 +489,18 @@ def make_passB_sharded(Np, dxs, dtype, ly, *, precision="manualhigh", by=8,
     if fold:
         # the fold acts on the x axis, which is FULL (unsharded) after
         # the all_to_all transpose — only the y eigen-offset is sharded
-        Re, Ro, Se, So, _ = poisson_fold_consts(Np, dxs, dtype)
+        mats, levels, _ = poisson_fold_consts(Np, dxs, dtype)
         passB = pl.pallas_call(
             functools.partial(
                 _passB_fold_yoff_kernel, by=by, n=n, prec=prec, eps=eps,
-                dxs=tuple(map(float, dxs)), vol=vol,
+                dxs=tuple(map(float, dxs)), vol=vol, levels=levels,
             ),
             grid=(ly // by,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((n, by, n), lambda j: (0, j, 0),
                              memory_space=pltpu.VMEM),
-                mm, mm, mm, mm,
-            ],
+            ] + [mm] * len(mats),
             out_specs=pl.BlockSpec(
                 (n, by, n), lambda j: (0, j, 0), memory_space=pltpu.VMEM
             ),
@@ -484,7 +511,7 @@ def make_passB_sharded(Np, dxs, dtype, ly, *, precision="manualhigh", by=8,
 
         def solve(h_local, yoff):
             yoff_arr = jnp.reshape(yoff, (1,)).astype(jnp.int32)
-            return passB(yoff_arr, h_local, Re, Ro, Se, So)
+            return passB(yoff_arr, h_local, *mats)
 
         return {
             "passB": solve,

@@ -513,3 +513,23 @@ def test_momentum_stage_divhat_stream_accum():
     )
     for a, b in zip(got, ref):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2])
+def test_poisson_fold_recursion_levels(levels):
+    """The recursive even-branch fold of pass B (each level's even
+    half-basis IS the next level's eigenbasis / sqrt(2)) matches the
+    dense eigen-matmul solve at every depth."""
+    from ins_tpu.ops.dft import make_poisson_mm
+    from ins_tpu.ops.poisson_pallas import make_poisson_pallas
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    f = jax.random.normal(jax.random.PRNGKey(7), (n, n, n), jnp.float32)
+    ref = make_poisson_mm((n,) * 3, (dx[0],) * 3, jnp.float32)(f)
+    sol = make_poisson_pallas(
+        (n,) * 3, dx, jnp.float32, precision="highest", interpret=True,
+        fold_levels=levels,
+    )(f)
+    scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
+    assert float(jnp.max(jnp.abs(sol - ref))) < 2e-5 * scale
