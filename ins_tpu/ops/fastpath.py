@@ -402,16 +402,18 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         return k, ut, proj["passB"](divhat), usnew
 
     def merged_stage_hat(ut, qhat, streams, coeffs, *, force,
-                         emit_k=False, usnew_coeff=None, usnew_base=None):
+                         emit_k=False, usnew_coeff=None, usnew_base=None,
+                         smag=None):
         """`fused_stage_hat` with the PREVIOUS stage's pressure
         correction merged in: u = ut - grad(q) is reconstructed in VMEM
         (ring-carried) and never round-trips HBM between interior
-        stages (`pcmsd_hat_3d`)."""
+        stages (`pcmsd_hat_3d`); the Smagorinsky force can ride the
+        reconstruction window."""
         res = pcmsd_hat_3d(
             ut, qhat, streams, coeffs, visc_static, dxs, proj,
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
-            precision=projection_precision,
+            precision=projection_precision, smag=smag,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -450,12 +452,13 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         # Merged chain: interior stages run `pcmsd_hat_3d` — the
         # previous stage's pressure correction rides the next momentum
         # kernel, so u materializes in HBM only once per STEP (at
-        # `correct`).  Needs a u-independent per-stage force (the fused
-        # Smagorinsky kernel reads u, so LES stays on the per-stage
-        # corrected chain).
+        # `correct`).  The Smagorinsky force rides the reconstruction
+        # window (widened ghosts), so LES merges too when the footprint
+        # allows.
         use_merged = (
-            use_fused_stage and lowstorage_rows and not _smag
-            and pcmsd_profitable(Np[0], 2 + (bodyforce_int is not None))
+            use_fused_stage and lowstorage_rows
+            and pcmsd_profitable(Np[0], 2 + (bodyforce_int is not None),
+                                 with_smag=_smag)
         )
 
         def step_merged(state, dt, theta):
@@ -472,7 +475,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                     _, ut, qhat, usnew = fused_stage_hat(
                         u, (ustart,), (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
-                        usnew_coeff=unc,
+                        usnew_coeff=unc, smag=smag_arg(theta),
                     )
                 else:
                     _, ut, qhat, usnew = merged_stage_hat(
@@ -480,6 +483,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                         (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, usnew_base=ub,
+                        smag=smag_arg(theta),
                     )
                 if unc is not None:
                     acc = usnew
@@ -565,8 +569,9 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         a_, b_, c_ = method.a, method.b, method.c
         ns = len(a_)
         use_merged = (
-            use_fused_stage and not _smag
-            and pcmsd_profitable(Np[0], 1 + (bodyforce_int is not None))
+            use_fused_stage
+            and pcmsd_profitable(Np[0], 1 + (bodyforce_int is not None),
+                                 with_smag=_smag)
         )
 
         def step_merged(state, dt, theta):
@@ -576,6 +581,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                 u, (ustart,), (dt * a_[0],), force=bodyforce_int,
                 emit_k=False,
                 usnew_coeff=(dt * b_[0] if ns > 1 else None),
+                smag=smag_arg(theta),
             )
             if ns > 1:
                 ustart = usnew
@@ -584,6 +590,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                 _, ut, qhat, usnew = merged_stage_hat(
                     ut, qhat, (ustart,), (dt * a_[i],),
                     force=bodyforce_int, emit_k=False, usnew_coeff=unc,
+                    smag=smag_arg(theta),
                 )
                 if unc is not None:
                     ustart = usnew

@@ -2045,20 +2045,21 @@ def smagorinsky_force_3d(
 def _pcmsd_hat_kernel(
     coeffs_smem, utprev_hbm, qhat_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k, with_usnew,
-    with_bf=False, with_accbase=False,
+    with_bf=False, with_accbase=False, smag_d2=None,
 ):
     """Merged pressure-correction + next-stage momentum kernel.
 
     The previous stage's velocity u = ut_prev - grad(q) is reconstructed
     IN VMEM (q inverse-transformed from qhat in-kernel) and immediately
     consumed by the conv-diff stencil — u never round-trips HBM between
-    interior RK stages.  Windows: ut_prev planes [start-2, start+bx]
-    (conv-diff needs u there), qhat planes [start-2, start+bx+1] (the
-    x-gradient needs q one plane above u's window).
+    interior RK stages.  Windows (ghost widths (ng_lo, ng_hi) = (2, 1),
+    widened to (3, 2) when the Smagorinsky force is fused): ut_prev /
+    reconstructed-u planes [start-ng_lo, start+bx+ng_hi-1], qhat one
+    plane further up (the x-gradient needs q above u's window).
 
-    Ring carry: the RECONSTRUCTED u window's top 3 planes are carried in
-    VMEM (``suw``) across slab windows, so for windows j > 0 only bx new
-    ut_prev planes are DMA'd, bx new qhat planes transformed (the
+    Ring carry: the RECONSTRUCTED u window's top ng planes are carried
+    in VMEM (``suw``) across slab windows, so for windows j > 0 only bx
+    new ut_prev planes are DMA'd, bx new qhat planes transformed (the
     overlap's transformed q plane rides scratch ``sqt``), and bx new u
     planes reconstructed — HBM reads, transform MXU work, and
     reconstruction VPU work are all exactly 1x.  This removes the
@@ -2081,77 +2082,80 @@ def _pcmsd_hat_kernel(
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
+    with_smag = smag_d2 is not None
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
+    W = bx + ng
 
-    # --- DMA plans (window layout: su/suw positions [0, bx+2] <->
-    # globals [start-2, start+bx]; sq positions [0, bx+3] <-> globals
-    # [start-2, start+bx+1]; stream positions [0, bx] <-> [start-1,
-    # start+bx-1])
+    # --- DMA plans (window layout: su/suw positions [0, W) <-> globals
+    # [start-ng_lo, start+bx+ng_hi-1]; sq positions [0, W] one plane
+    # further up; stream positions [0, bx] <-> [start-1, start+bx-1])
     def ut_full(s):
         return [
             pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(n - 2, 2)],
-                su.at[s, :, pl.ds(0, 2)], sems.at[s, 0],
+                utprev_hbm.at[:, pl.ds(n - ng_lo, ng_lo)],
+                su.at[s, :, pl.ds(0, ng_lo)], sems.at[s, 0],
             ),
             pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(0, bx + 1)],
-                su.at[s, :, pl.ds(2, bx + 1)], sems.at[s, 1],
+                utprev_hbm.at[:, pl.ds(0, bx + ng_hi)],
+                su.at[s, :, pl.ds(ng_lo, bx + ng_hi)], sems.at[s, 1],
             ),
         ]
 
     def ut_part(j, s):
         start = j * bx
         cps = []
-        if bx > 1:
+        if bx > ng_hi:
             cps.append(pltpu.make_async_copy(
-                utprev_hbm.at[:, pl.ds(start + 1, bx - 1)],
-                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+                utprev_hbm.at[:, pl.ds(start + ng_hi, bx - ng_hi)],
+                su.at[s, :, pl.ds(ng, bx - ng_hi)], sems.at[s, 0],
             ))
-        cps.append(pltpu.make_async_copy(
-            utprev_hbm.at[:, pl.ds((start + bx) % n, 1)],
-            su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 1],
-        ))
+        for t in range(ng_hi):
+            cps.append(pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds((start + bx + t) % n, 1)],
+                su.at[s, :, pl.ds(W - ng_hi + t, 1)], sems.at[s, 1 + t],
+            ))
         return cps
 
     def q_full(s):
         return [
             pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(n - 2, 2)],
-                sq.at[s, pl.ds(0, 2)], sems.at[s, 2],
+                qhat_hbm.at[pl.ds(n - ng_lo, ng_lo)],
+                sq.at[s, pl.ds(0, ng_lo)], sems.at[s, 3],
             ),
             pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(0, bx + 2)],
-                sq.at[s, pl.ds(2, bx + 2)], sems.at[s, 3],
+                qhat_hbm.at[pl.ds(0, bx + ng_hi + 1)],
+                sq.at[s, pl.ds(ng_lo, bx + ng_hi + 1)], sems.at[s, 4],
             ),
         ]
 
     def q_part(j, s):
         start = j * bx
         cps = []
-        if bx > 2:
+        if bx > ng_hi + 1:
             cps.append(pltpu.make_async_copy(
-                qhat_hbm.at[pl.ds(start + 2, bx - 2)],
-                sq.at[s, pl.ds(4, bx - 2)], sems.at[s, 2],
+                qhat_hbm.at[pl.ds(start + ng_hi + 1, bx - ng_hi - 1)],
+                sq.at[s, pl.ds(ng + 1, bx - ng_hi - 1)], sems.at[s, 3],
             ))
-        cps.append(pltpu.make_async_copy(
-            qhat_hbm.at[pl.ds((start + bx) % n, 1)],
-            sq.at[s, pl.ds(bx + 2, 1)], sems.at[s, 3],
-        ))
-        cps.append(pltpu.make_async_copy(
-            qhat_hbm.at[pl.ds((start + bx + 1) % n, 1)],
-            sq.at[s, pl.ds(bx + 3, 1)], sems.at[s, 4],
-        ))
+        for t in range(ng_hi + 1):
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds((start + bx + t) % n, 1)],
+                sq.at[s, pl.ds(W - ng_hi + t, 1)], sems.at[s, 4 + t],
+            ))
         return cps
+
+    s0 = 4 + ng_hi + 1
 
     def s_full(s):
         cps = []
         for q in range(n_dma):
             cps.append(pltpu.make_async_copy(
                 streams[q].at[:, pl.ds(0, bx)],
-                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 5 + 2 * q],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, s0 + 2 * q],
             ))
             cps.append(pltpu.make_async_copy(
                 streams[q].at[:, pl.ds(n - 1, 1)],
-                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, 6 + 2 * q],
+                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, s0 + 1 + 2 * q],
             ))
         return cps
 
@@ -2160,7 +2164,7 @@ def _pcmsd_hat_kernel(
         return [
             pltpu.make_async_copy(
                 streams[q].at[:, pl.ds(start, bx)],
-                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, 5 + 2 * q],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, s0 + 2 * q],
             )
             for q in range(n_dma)
         ]
@@ -2195,44 +2199,46 @@ def _pcmsd_hat_kernel(
         return _mm_h(t, vzT_s, manualhigh)
 
     def recon(qlist, lo):
-        """Store u planes for window positions [lo, bx+3) from q planes
-        qlist (positions [lo, bx+3] relative: qlist[r] pairs with u
-        position lo+r and qlist[r+1] above it)."""
-        w = bx + 3 - lo
+        """Store u planes for window positions [lo, W) from q planes
+        qlist (qlist[r] pairs with u position lo+r and qlist[r+1] above
+        it)."""
+        w = W - lo
         qs = jnp.stack(qlist)  # (w+1, n, n)
         qc = qs[:w]
-        suw[slot, 0, lo : bx + 3] = (
-            su[slot, 0, lo : bx + 3] - (qs[1:] - qs[:-1]) / dx[0]
+        suw[slot, 0, lo:W] = (
+            su[slot, 0, lo:W] - (qs[1:] - qs[:-1]) / dx[0]
         )
-        suw[slot, 1, lo : bx + 3] = (
-            su[slot, 1, lo : bx + 3] - (_rp(qc, 1) - qc) / dx[1]
+        suw[slot, 1, lo:W] = (
+            su[slot, 1, lo:W] - (_rp(qc, 1) - qc) / dx[1]
         )
-        suw[slot, 2, lo : bx + 3] = (
-            su[slot, 2, lo : bx + 3] - (_rp(qc, 2) - qc) / dx[2]
+        suw[slot, 2, lo:W] = (
+            su[slot, 2, lo:W] - (_rp(qc, 2) - qc) / dx[2]
         )
 
     @pl.when(i == 0)
     def _():
-        qlist = [qtrans(p, 0) for p in range(bx + 4)]
+        qlist = [qtrans(p, 0) for p in range(W + 1)]
         recon(qlist, 0)
-        sqt[:, :] = qlist[bx + 3]
+        sqt[:, :] = qlist[W]
 
     @pl.when(i > 0)
     def _():
-        # carried: u positions 0..2; transformed q top plane in sqt
-        qlist = [sqt[:, :]] + [qtrans(p, slot) for p in range(4, bx + 4)]
-        recon(qlist, 3)
+        # carried: u positions 0..ng-1; transformed q top plane in sqt
+        qlist = [sqt[:, :]] + [qtrans(p, slot) for p in range(ng + 1, W + 1)]
+        recon(qlist, ng)
         sqt[:, :] = qlist[bx]
 
     # ring carry for window i+1 (reconstruction above is complete)
     @pl.when(i + 1 < nslab)
     def _():
-        suw[1 - slot, :, 0:3] = suw[slot, :, bx : bx + 3]
+        suw[1 - slot, :, 0:ng] = suw[slot, :, bx : bx + ng]
         for q in range(n_dma):
             sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
+    off = ng_lo - 2
+
     def at(a, lo_sh, hi_off):
-        return suw[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+        return suw[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
 
     idx_bf = m + 1
     idx_acc = idx_bf + with_bf
@@ -2246,21 +2252,37 @@ def _pcmsd_hat_kernel(
         kstream=lambda q, a: sb[slot, q, a],
         bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
+        smag=(
+            (coeffs_smem[m + 1 + with_usnew], smag_d2,
+             lambda a: suw[slot, a, 0:W])
+            if with_smag
+            else None
+        ),
     )
 
 
-def pcmsd_profitable(n, n_dma):
+def _pcmsd_planes(n_dma, with_smag):
+    """VMEM plane-count estimate for the merged kernel's `_pick_bx`."""
+    nout = 3 + 1 + 3
+    ng = 5 if with_smag else 3
+    extra = 20 * (ng + 2) if with_smag else 0
+
+    def planes(b):
+        return (
+            12 * (b + ng) + 2 * (b + ng + 1) + 6 * n_dma * (b + 1)
+            + 2 * nout * b + extra
+        )
+
+    return planes
+
+
+def pcmsd_profitable(n, n_dma, with_smag=False):
     """Whether the merged pc+momentum kernel should be used: profitable
     only when its (larger) VMEM footprint still allows a slab of >= 4
     planes — at bx=1 the per-window DMA-issue overhead dominates
     (measured 512^3 RK44: 143 ms merged vs 96 ms unmerged; 256^3 at
     bx=8: 9.5 vs 11.3 ms)."""
-    nout = 3 + 1 + 3
-    bx = _pick_bx(
-        n,
-        lambda b: 12 * (b + 3) + 2 * (b + 4) + 6 * n_dma * (b + 1)
-        + 2 * nout * b,
-    )
+    bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag))
     return min(bx, n // 2) >= 4
 
 
@@ -2268,6 +2290,7 @@ def pcmsd_hat_3d(
     ut_prev, qhat, streams, coeffs, visc, dxs, proj,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, usnew_base=None,
+    smag=None,
 ):
     """Merged pressure-correction + momentum + stage + divergence, one
     HBM pass: reconstructs ``u = ut_prev - grad(q)`` in VMEM (q's
@@ -2299,20 +2322,17 @@ def pcmsd_hat_3d(
     if with_accbase:
         dma_streams = dma_streams + (usnew_base,)
     n_dma = len(dma_streams)
+    with_smag = smag is not None
+    ng = 5 if with_smag else 3
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
     if bx is None:
-        nout = 3 * int(emit_k) + 3 + 1 + 3 * int(with_usnew)
-        bx = _pick_bx(
-            n,
-            lambda b: 12 * (b + 3) + 2 * (b + 4) + 6 * n_dma * (b + 1)
-            + 2 * nout * b,
-        )
+        bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag))
     while n % bx != 0:
         bx //= 2
     if bx == n:  # ring-carry window layout needs >= 2 windows
         bx //= 2
-    assert n >= bx + 2 and n % bx == 0, (n, bx)
+    assert n >= bx + ng and n % bx == 0, (n, bx)
     kernel = functools.partial(
         _pcmsd_hat_kernel,
         visc=float(visc),
@@ -2326,8 +2346,13 @@ def pcmsd_hat_3d(
         with_usnew=with_usnew,
         with_bf=with_bf,
         with_accbase=with_accbase,
+        smag_d2=(float(smag[1]) if with_smag else None),
     )
-    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    all_coeffs = (
+        list(coeffs)
+        + ([usnew_coeff] if with_usnew else [])
+        + ([smag[0]] if with_smag else [])
+    )
     coeff_arr = jnp.stack(
         [jnp.asarray(c, ut_prev.dtype) for c in all_coeffs]
     ).reshape(len(all_coeffs))
@@ -2357,12 +2382,12 @@ def pcmsd_hat_3d(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 3, n, n), ut_prev.dtype),
-            pltpu.VMEM((2, 3, bx + 3, n, n), ut_prev.dtype),
-            pltpu.VMEM((2, bx + 4, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
+            pltpu.VMEM((2, bx + ng + 1, n, n), ut_prev.dtype),
             pltpu.VMEM((n, n), ut_prev.dtype),
             pltpu.VMEM((2, n_dma, 3, bx + 1, n, n), ut_prev.dtype),
-            pltpu.SemaphoreType.DMA((2, 5 + 2 * n_dma)),
+            pltpu.SemaphoreType.DMA((2, 4 + ng + 2 * n_dma)),
         ],
         # 120 MB: at 512^3 even bx=1 sits at ~110.1 MB (the ring-carry
         # makes HBM traffic bx-independent, so the shallow slab costs

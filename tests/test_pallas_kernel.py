@@ -533,3 +533,47 @@ def test_poisson_fold_recursion_levels(levels):
     )(f)
     scale = max(float(jnp.max(jnp.abs(ref))), 1.0)
     assert float(jnp.max(jnp.abs(sol - ref))) < 2e-5 * scale
+
+
+def test_pcmsd_fused_smagorinsky():
+    """Smagorinsky fused into the MERGED pc+momentum kernel (force
+    computed from the ring-carried reconstructed u window) == separate
+    correction + force kernel + stage kernel."""
+    from ins_tpu.ops.pallas_kernels import (
+        momentum_stage_divhat_3d,
+        pcmsd_hat_3d,
+        pressure_correct_qhat_3d,
+        smagorinsky_force_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    theta = jnp.float32(0.17)
+    d2 = float(sum(d * d for d in dx))
+    rng = np.random.default_rng(17)
+    ut_prev = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    qhat = 0.1 * jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    ustart = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    accb = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    cn = 0.23
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    u_ref = pressure_correct_qhat_3d(
+        ut_prev, qhat, dx, proj["V"], proj["VT"], interpret=True
+    )
+    F = smagorinsky_force_3d(u_ref, theta, dx, interpret=True)
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u_ref, (ustart,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        bodyforce=F, interpret=True,
+    )
+    for bx in (None, 4):
+        ut2, dh2, usn = pcmsd_hat_3d(
+            ut_prev, qhat, (ustart,), (cn,), visc, dx, proj,
+            interpret=True, emit_k=False, usnew_coeff=0.4,
+            usnew_base=accb, smag=(theta, d2), bx=bx,
+        )
+        assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 2e-3
+        # k_ref already includes F (the bodyforce stream is part of k)
+        assert float(jnp.max(jnp.abs(usn - (accb + 0.4 * k_ref)))) < 2e-3
