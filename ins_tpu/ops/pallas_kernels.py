@@ -1292,17 +1292,19 @@ def _seg_window_copy(main, lo, hi, dst, sems, sem0, j, nslab, *, bx, nlo, nhi,
 def _msd_hat_halo_kernel(
     coeffs_smem, u_hbm, u_lo, u_hi, *args,
     visc, dx, vol, bx, lx, manualhigh, m, emit_k=True, with_usnew=False,
-    with_bf=False, with_accbase=False, u_is_stream0=False,
+    with_bf=False, with_accbase=False, u_is_stream0=False, smag_d2=None,
 ):
     """Per-shard `_msd_hat_kernel`: identical stage tail and ring-carry
     slab pipeline, but the x-slab shard's ghost planes arrive as
-    SEPARATE small arrays (`u_lo`: the left ring neighbour's last 2
-    planes, `u_hi`: the right neighbour's first plane; 1 lower plane per
+    SEPARATE small arrays (`u_lo`: the left ring neighbour's last ng_lo
+    planes, `u_hi`: the right neighbour's first ng_hi; 1 lower plane per
     stream) DMA'd straight into the scratch window edges — the local
     fields are never concat-padded in HBM, so the halo step costs
     exactly the single-chip kernel's HBM traffic plus the ppermute of
     the boundary planes.  Only window 0 touches the lo arrays (carried
-    thereafter); the hi array is read by the last window only."""
+    thereafter); the hi array is read by the last window only.  Ghost
+    widths (ng_lo, ng_hi) = (2, 1), widened to (3, 2) when the
+    Smagorinsky force is fused (``smag_d2``)."""
     n_dma = (0 if u_is_stream0 else m + 1) + with_bf + with_accbase
     streams = args[:n_dma]       # [ustart, k_1..k_m][, bf][, accbase]
     streams_lo = args[n_dma : 2 * n_dma]  # their 1-plane lower ghosts
@@ -1323,65 +1325,72 @@ def _msd_hat_halo_kernel(
     i = pl.program_id(0)
     nslab = lx // bx
     slot = i % 2
+    with_smag = smag_d2 is not None
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
+    W = bx + ng
 
     def u_full(s):
-        # window 0: the 2 lo planes come from the left neighbour; the hi
-        # plane is local plane bx, or the right neighbour's first plane
-        # when this shard has a single window (static)
+        # window 0: the lo planes come from the left neighbour; the hi
+        # planes are local, or the right neighbour's when this shard
+        # has a single window (static)
         hi_src = (
-            u_hi.at[:, pl.ds(0, 1)]
+            u_hi.at[:, pl.ds(0, ng_hi)]
             if nslab == 1
-            else u_hbm.at[:, pl.ds(bx, 1)]
+            else u_hbm.at[:, pl.ds(bx, ng_hi)]
         )
         return [
             pltpu.make_async_copy(
-                u_lo.at[:, pl.ds(0, 2)], su.at[s, :, pl.ds(0, 2)],
+                u_lo.at[:, pl.ds(0, ng_lo)], su.at[s, :, pl.ds(0, ng_lo)],
                 sems.at[s, 0],
             ),
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(0, bx)], su.at[s, :, pl.ds(2, bx)],
+                u_hbm.at[:, pl.ds(0, bx)], su.at[s, :, pl.ds(ng_lo, bx)],
                 sems.at[s, 1],
             ),
             pltpu.make_async_copy(
-                hi_src, su.at[s, :, pl.ds(bx + 2, 1)], sems.at[s, 2],
+                hi_src, su.at[s, :, pl.ds(bx + ng_lo, ng_hi)],
+                sems.at[s, 2],
             ),
         ]
 
     def u_part(j, s):
-        # window j > 0: positions 0..2 carried; DMA only the new planes
+        # window j > 0: positions 0..ng-1 carried; DMA only new planes
         start = j * bx
         cps = []
-        if bx > 1:
+        if bx > ng_hi:
             cps.append(pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(start + 1, bx - 1)],
-                su.at[s, :, pl.ds(3, bx - 1)], sems.at[s, 0],
+                u_hbm.at[:, pl.ds(start + ng_hi, bx - ng_hi)],
+                su.at[s, :, pl.ds(ng, bx - ng_hi)], sems.at[s, 0],
             ))
         return cps
 
     def u_part_hi(j, s):
-        # hi plane: local start+bx, or the right neighbour's first plane
-        # for the last window (branches signal the same sem/bytes)
+        # hi planes: local [start+bx, ng_hi), or the right neighbour's
+        # first ng_hi for the last window (branches signal the same
+        # sem/bytes)
         start = j * bx
         hi_sem = sems.at[s, 1]
 
         @pl.when(j == nslab - 1)
         def _():
             pltpu.make_async_copy(
-                u_hi.at[:, pl.ds(0, 1)], su.at[s, :, pl.ds(bx + 2, 1)],
-                hi_sem,
+                u_hi.at[:, pl.ds(0, ng_hi)],
+                su.at[s, :, pl.ds(W - ng_hi, ng_hi)], hi_sem,
             ).start()
 
         @pl.when(j < nslab - 1)
         def _():
             pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(jnp.minimum(start + bx, lx - 1), 1)],
-                su.at[s, :, pl.ds(bx + 2, 1)], hi_sem,
+                u_hbm.at[:, pl.ds(jnp.minimum(start + bx, lx - ng_hi),
+                                  ng_hi)],
+                su.at[s, :, pl.ds(W - ng_hi, ng_hi)], hi_sem,
             ).start()
 
     def u_part_hi_wait(s):
         pltpu.make_async_copy(
-            u_hbm.at[:, pl.ds(0, 1)], su.at[s, :, pl.ds(bx + 2, 1)],
-            sems.at[s, 1],
+            u_hbm.at[:, pl.ds(0, ng_hi)],
+            su.at[s, :, pl.ds(W - ng_hi, ng_hi)], sems.at[s, 1],
         ).wait()
 
     def s_full(s):
@@ -1432,15 +1441,17 @@ def _msd_hat_halo_kernel(
     # ring carry: seed window i+1's low planes from window i's buffer
     @pl.when(i + 1 < nslab)
     def _():
-        su[1 - slot, :, 0:3] = su[slot, :, bx : bx + 3]
+        su[1 - slot, :, 0:ng] = su[slot, :, bx : bx + ng]
         for q in range(n_dma):
             sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
 
+    off = ng_lo - 2
+
     def at(a, lo_sh, hi_off):
-        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+        return su[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
 
     if u_is_stream0:
-        base = lambda a: su[slot, a, 1 : bx + 2]  # noqa: E731
+        base = lambda a: su[slot, a, off + 1 : off + bx + 2]  # noqa: E731
         idx_bf = 0
     else:
         base = lambda a: sb[slot, 0, a]  # noqa: E731
@@ -1457,6 +1468,12 @@ def _msd_hat_halo_kernel(
         kstream=lambda q, a: sb[slot, q, a],
         bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
+        smag=(
+            (coeffs_smem[m + 1 + with_usnew], smag_d2,
+             lambda a: su[slot, a, 0:W])
+            if with_smag
+            else None
+        ),
     )
 
 
@@ -1464,22 +1481,28 @@ def momentum_stage_divhat_halo_3d(
     u_loc, u_lo, u_hi, streams, streams_lo, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, bodyforce_lo=None,
-    usnew_base=None,
+    usnew_base=None, smag=None,
 ):
     """`momentum_stage_divhat_3d` on an x-slab shard block with
     segmented halo DMAs.
 
-    ``u_loc``: (3, lx, ny, nz) local block; ``u_lo`` (3, 2, ny, nz) /
-    ``u_hi`` (3, 1, ny, nz): the ring neighbours' boundary planes
-    (ppermute'd by `parallel/halo.py`).  ``streams``: each
-    (3, lx, ny, nz) with its 1-plane lower ghost in ``streams_lo``;
-    ``bodyforce``/``bodyforce_lo`` likewise.  Outputs are exact local
-    extent — no edge planes to discard and NO concat-padding in HBM.
-    ny == nz is the global cube extent (unsharded on x-slabs), so the
-    z/y forward transform is shard-local and exact."""
+    ``u_loc``: (3, lx, ny, nz) local block; ``u_lo`` (3, ng_lo, ny, nz)
+    / ``u_hi`` (3, ng_hi, ny, nz): the ring neighbours' boundary planes
+    (ppermute'd by `parallel/halo.py`; (ng_lo, ng_hi) = (2, 1), widened
+    to (3, 2) when the Smagorinsky force is fused via ``smag``).
+    ``streams``: each (3, lx, ny, nz) with its 1-plane lower ghost in
+    ``streams_lo``; ``bodyforce``/``bodyforce_lo`` likewise.  Outputs
+    are exact local extent — no edge planes to discard and NO
+    concat-padding in HBM.  ny == nz is the global cube extent
+    (unsharded on x-slabs), so the z/y forward transform is shard-local
+    and exact."""
     D, lx, ny, nz = u_loc.shape
+    with_smag = smag is not None
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
     assert D == 3 and ny == nz and lx >= 2 and lx % 2 == 0
-    assert u_lo.shape == (3, 2, ny, nz) and u_hi.shape == (3, 1, ny, nz)
+    assert u_lo.shape == (3, ng_lo, ny, nz), (u_lo.shape, ng_lo)
+    assert u_hi.shape == (3, ng_hi, ny, nz), (u_hi.shape, ng_hi)
     streams = tuple(streams)
     streams_lo = tuple(streams_lo)
     coeffs = tuple(coeffs)
@@ -1507,11 +1530,17 @@ def momentum_stage_divhat_halo_3d(
     n_dma = len(streams)
     vol = float(np.prod(dxs))
     if bx is None:
-        bx = _pick_bx(lx, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b,
-                      ny * nz)
+        if with_smag:
+            bx = _pick_bx(
+                lx, lambda b: 6 * (b + 5) + 6 * n_dma * (b + 1) + 14 * b
+                + 20 * (b + 5), ny * nz)
+        else:
+            bx = _pick_bx(
+                lx, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b,
+                ny * nz)
     while lx % bx != 0:
         bx //= 2
-    # the partial window reads main plane [start + bx]: needs bx >= 2
+    # the partial window reads main planes [start + bx, ng_hi)
     bx = max(bx, 2)
     with_usnew = usnew_coeff is not None
     kernel = functools.partial(
@@ -1528,8 +1557,13 @@ def momentum_stage_divhat_halo_3d(
         with_bf=with_bf,
         with_accbase=with_accbase,
         u_is_stream0=u_is_stream0,
+        smag_d2=(float(smag[1]) if with_smag else None),
     )
-    all_coeffs = list(coeffs) + ([usnew_coeff] if with_usnew else [])
+    all_coeffs = (
+        list(coeffs)
+        + ([usnew_coeff] if with_usnew else [])
+        + ([smag[0]] if with_smag else [])
+    )
     coeff_arr = jnp.stack(
         [jnp.asarray(c, u_loc.dtype) for c in all_coeffs]
     ).reshape(len(all_coeffs))
@@ -1550,7 +1584,7 @@ def momentum_stage_divhat_halo_3d(
         + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), u_loc.dtype)]
         + ([vec_shape] if with_usnew else [])
     )
-    scratch = [pltpu.VMEM((2, 3, bx + 3, ny, nz), u_loc.dtype)]
+    scratch = [pltpu.VMEM((2, 3, bx + ng, ny, nz), u_loc.dtype)]
     if n_dma:
         scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, ny, nz),
                                   u_loc.dtype))

@@ -624,16 +624,41 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         # replace the single-chip modular wrap.
         prec = projection_precision
 
+        _smag_d2 = float(sum(d * d for d in dxs)) if _smag else None
+
+        def smag_arg(theta):
+            if not _smag:
+                return None
+            th = jnp.asarray(0.17 if theta is None else theta, dtype)
+            return (th, _smag_d2)
+
+        def force_nosmag(temp, bf):
+            """Per-stage force stream EXCLUDING the Smagorinsky term
+            (which is fused into the stage kernel): steady body force +
+            buoyancy."""
+            out = bf
+            if temp is not None:
+                b = alpha2 * buoyancy_force(temp)
+                if out is None:
+                    out = jnp.zeros(
+                        (3,) + temp.shape, temp.dtype
+                    ).at[gdir].set(b)
+                else:
+                    out = out.at[gdir].add(b)
+            return out
+
         def fused_stage(u, streams, streams_lo, coeffs, *, force,
-                        emit_k=True, usnew_coeff=None, usnew_base=None):
+                        emit_k=True, usnew_coeff=None, usnew_base=None,
+                        smag=None):
+            glo, ghi = (3, 2) if smag is not None else (2, 1)
             res = momentum_stage_divhat_halo_3d(
-                u, _x_lo(u, 2), _x_hi(u, 1),
+                u, _x_lo(u, glo), _x_hi(u, ghi),
                 streams, streams_lo, coeffs, visc_static, dxs,
                 projd["Vinv"], projd["VinvT"],
                 emit_k=emit_k, usnew_coeff=usnew_coeff,
                 bodyforce=force,
                 bodyforce_lo=(_x_lo(force, 1) if force is not None else None),
-                usnew_base=usnew_base,
+                usnew_base=usnew_base, smag=smag,
                 precision=prec, **kw,
             )
             res = list(res)
@@ -670,7 +695,8 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                             _, u, _ = fused_stage(
                                 u, (acc,), (_x_lo(acc, 1),),
                                 (dt * A[i][i],),
-                                force=force_stream(u, temp, theta, bf),
+                                force=force_nosmag(temp, bf),
+                                smag=smag_arg(theta),
                                 emit_k=False,
                             )
                         else:
@@ -679,7 +705,8 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                             _, u, usnew = fused_stage(
                                 u, (ustart,), (ustart_lo,),
                                 (dt * A[i][i],),
-                                force=force_stream(u, temp, theta, bf),
+                                force=force_nosmag(temp, bf),
+                                smag=smag_arg(theta),
                                 emit_k=False,
                                 usnew_coeff=unc,
                                 usnew_base=(
@@ -701,7 +728,8 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                         coeffs.append(dt * A[i][i])
                         k, u, _ = fused_stage(
                             u, streams, streams_lo, coeffs,
-                            force=force_stream(u, temp, theta, bf),
+                            force=force_nosmag(temp, bf),
+                            smag=smag_arg(theta),
                             emit_k=(i < ns - 1),
                         )
                         if k is not None:
@@ -727,7 +755,8 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                     )
                     _, un, usnew = fused_stage(
                         u, (ustart,), (_x_lo(ustart, 1),), (dt * a_[i],),
-                        force=force_stream(u, temp, theta, bf),
+                        force=force_nosmag(temp, bf),
+                        smag=smag_arg(theta),
                         emit_k=False,
                         usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
                     )
