@@ -35,6 +35,7 @@ __all__ = [
     "momentum_stage_divhat_3d",
     "momentum_stage_divhat_halo_3d",
     "pcmsd_hat_3d",
+    "pcmsd_hat_halo_3d",
     "pressure_correct_3d",
     "pressure_correct_qhat_3d",
     "pressure_correct_qhat_halo_3d",
@@ -2432,6 +2433,422 @@ def pcmsd_hat_3d(
         interpret=interpret,
     )(
         coeff_arr, ut_prev, qhat, *dma_streams,
+        proj["V"], proj["VT"], proj["Vinv"], proj["VinvT"],
+    )
+
+
+def _pcmsd_hat_halo_kernel(
+    coeffs_smem, utprev_hbm, ut_lo, ut_hi, qhat_hbm, qhat_lo, qhat_hi,
+    *args,
+    visc, dx, vol, bx, lx, manualhigh, m, emit_k, with_usnew,
+    with_bf=False, with_accbase=False, smag_d2=None,
+):
+    """Per-shard `_pcmsd_hat_kernel` (merged pressure-correction +
+    next-stage momentum): identical ring-carried reconstruction and
+    stage tail, but the x-slab shard's ghost planes arrive as SEPARATE
+    small arrays ppermute'd by `parallel/halo.py` — ``ut_lo``/``ut_hi``
+    the neighbours' (ng_lo, ng_hi) boundary planes of the uncorrected
+    velocity, ``qhat_lo``/``qhat_hi`` the (ng_lo, ng_hi+1) boundary
+    planes of the eigen-basis pressure (the z/y transform is per-x-plane
+    so halo exchange commutes with it), and each tableau stream's 1
+    lower plane in ``streams_lo``.  The corrected velocity u never
+    round-trips HBM between interior RK stages on the shard."""
+    n_dma = m + 1 + with_bf + with_accbase
+    streams = args[:n_dma]       # ustart, k_1..k_m [, bf][, accbase]
+    streams_lo = args[n_dma : 2 * n_dma]
+    vy_hbm = args[2 * n_dma]
+    vzT_hbm = args[2 * n_dma + 1]
+    vinvy_hbm = args[2 * n_dma + 2]
+    vinvzT_hbm = args[2 * n_dma + 3]
+    o0 = 2 * n_dma + 4
+    outs = list(args[o0 : o0 + emit_k + 2 + with_usnew])
+    rest = args[o0 + emit_k + 2 + with_usnew :]
+    k_out = outs.pop(0) if emit_k else None
+    ut_out = outs.pop(0)
+    divhat_out = outs.pop(0)
+    usnew_out = outs.pop(0) if with_usnew else None
+    su, suw, sq, sqt, sb, sems = rest
+
+    i = pl.program_id(0)
+    nslab = lx // bx
+    slot = i % 2
+    with_smag = smag_d2 is not None
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
+    W = bx + ng
+
+    # --- DMA plans.  Window layout as in `_pcmsd_hat_kernel`: su/suw
+    # positions [0, W) <-> globals [start-ng_lo, start+bx+ng_hi-1]; sq
+    # positions [0, W] one plane further up; stream positions [0, bx]
+    # <-> [start-1, start+bx-1].  The lo arrays feed window 0 only
+    # (ring-carried thereafter); the hi arrays feed the LAST window.
+    def ut_full(s):
+        cps = [
+            pltpu.make_async_copy(
+                ut_lo.at[:, pl.ds(0, ng_lo)],
+                su.at[s, :, pl.ds(0, ng_lo)], sems.at[s, 0],
+            )
+        ]
+        if nslab == 1:
+            cps.append(pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(0, bx)],
+                su.at[s, :, pl.ds(ng_lo, bx)], sems.at[s, 1],
+            ))
+            cps.append(pltpu.make_async_copy(
+                ut_hi.at[:, pl.ds(0, ng_hi)],
+                su.at[s, :, pl.ds(ng_lo + bx, ng_hi)], sems.at[s, 2],
+            ))
+        else:
+            cps.append(pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(0, bx + ng_hi)],
+                su.at[s, :, pl.ds(ng_lo, bx + ng_hi)], sems.at[s, 1],
+            ))
+        return cps
+
+    def ut_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > ng_hi:
+            cps.append(pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(start + ng_hi, bx - ng_hi)],
+                su.at[s, :, pl.ds(ng, bx - ng_hi)], sems.at[s, 0],
+            ))
+        return cps
+
+    def ut_part_hi(j, s):
+        # window-top ng_hi planes: local [start+bx, ng_hi), or the right
+        # neighbour's for the last window (both branches signal the same
+        # sem/bytes, so the wait is branch-free)
+        start = j * bx
+        hi_sem = sems.at[s, 1]
+
+        @pl.when(j == nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                ut_hi.at[:, pl.ds(0, ng_hi)],
+                su.at[s, :, pl.ds(W - ng_hi, ng_hi)], hi_sem,
+            ).start()
+
+        @pl.when(j < nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                utprev_hbm.at[:, pl.ds(jnp.minimum(start + bx, lx - ng_hi),
+                                       ng_hi)],
+                su.at[s, :, pl.ds(W - ng_hi, ng_hi)], hi_sem,
+            ).start()
+
+    def ut_part_hi_wait(s):
+        pltpu.make_async_copy(
+            utprev_hbm.at[:, pl.ds(0, ng_hi)],
+            su.at[s, :, pl.ds(W - ng_hi, ng_hi)], sems.at[s, 1],
+        ).wait()
+
+    def q_full(s):
+        cps = [
+            pltpu.make_async_copy(
+                qhat_lo.at[pl.ds(0, ng_lo)],
+                sq.at[s, pl.ds(0, ng_lo)], sems.at[s, 3],
+            )
+        ]
+        if nslab == 1:
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(0, bx)],
+                sq.at[s, pl.ds(ng_lo, bx)], sems.at[s, 4],
+            ))
+            cps.append(pltpu.make_async_copy(
+                qhat_hi.at[pl.ds(0, ng_hi + 1)],
+                sq.at[s, pl.ds(ng_lo + bx, ng_hi + 1)], sems.at[s, 5],
+            ))
+        else:
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(0, bx + ng_hi + 1)],
+                sq.at[s, pl.ds(ng_lo, bx + ng_hi + 1)], sems.at[s, 4],
+            ))
+        return cps
+
+    def q_part(j, s):
+        start = j * bx
+        cps = []
+        if bx > ng_hi + 1:
+            cps.append(pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(start + ng_hi + 1, bx - ng_hi - 1)],
+                sq.at[s, pl.ds(ng + 1, bx - ng_hi - 1)], sems.at[s, 3],
+            ))
+        return cps
+
+    def q_part_hi(j, s):
+        start = j * bx
+        hi_sem = sems.at[s, 4]
+
+        @pl.when(j == nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                qhat_hi.at[pl.ds(0, ng_hi + 1)],
+                sq.at[s, pl.ds(W - ng_hi, ng_hi + 1)], hi_sem,
+            ).start()
+
+        @pl.when(j < nslab - 1)
+        def _():
+            pltpu.make_async_copy(
+                qhat_hbm.at[pl.ds(jnp.minimum(start + bx, lx - ng_hi - 1),
+                                  ng_hi + 1)],
+                sq.at[s, pl.ds(W - ng_hi, ng_hi + 1)], hi_sem,
+            ).start()
+
+    def q_part_hi_wait(s):
+        pltpu.make_async_copy(
+            qhat_hbm.at[pl.ds(0, ng_hi + 1)],
+            sq.at[s, pl.ds(W - ng_hi, ng_hi + 1)], sems.at[s, 4],
+        ).wait()
+
+    s0 = 6
+
+    def s_full(s):
+        cps = []
+        for q in range(n_dma):
+            cps.append(pltpu.make_async_copy(
+                streams_lo[q].at[:, pl.ds(0, 1)],
+                sb.at[s, q, :, pl.ds(0, 1)], sems.at[s, s0 + 1 + 2 * q],
+            ))
+            cps.append(pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(0, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, s0 + 2 * q],
+            ))
+        return cps
+
+    def s_part(j, s):
+        start = j * bx
+        return [
+            pltpu.make_async_copy(
+                streams[q].at[:, pl.ds(start, bx)],
+                sb.at[s, q, :, pl.ds(1, bx)], sems.at[s, s0 + 2 * q],
+            )
+            for q in range(n_dma)
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cp in ut_full(0) + q_full(0) + s_full(0):
+            cp.start()
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        for cp in (ut_part(i + 1, 1 - slot) + q_part(i + 1, 1 - slot)
+                   + s_part(i + 1, 1 - slot)):
+            cp.start()
+        ut_part_hi(i + 1, 1 - slot)
+        q_part_hi(i + 1, 1 - slot)
+
+    @pl.when(i == 0)
+    def _():
+        for cp in ut_full(0) + q_full(0) + s_full(0):
+            cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        for cp in ut_part(i, slot) + q_part(i, slot) + s_part(i, slot):
+            cp.wait()
+        ut_part_hi_wait(slot)
+        q_part_hi_wait(slot)
+
+    # --- reconstruction: u = ut_prev - grad(q) into suw[slot] (the
+    # per-shard twin of `_pcmsd_hat_kernel`'s)
+    vy_s = _prep_mat(vy_hbm, manualhigh)
+    vzT_s = _prep_mat(vzT_hbm, manualhigh)
+
+    def qtrans(p, s):
+        t = _mm_h_left(vy_s, sq[s, p], manualhigh)
+        return _mm_h(t, vzT_s, manualhigh)
+
+    def recon(qlist, lo):
+        w = W - lo
+        qs = jnp.stack(qlist)  # (w+1, ny, nz)
+        qc = qs[:w]
+        suw[slot, 0, lo:W] = (
+            su[slot, 0, lo:W] - (qs[1:] - qs[:-1]) / dx[0]
+        )
+        suw[slot, 1, lo:W] = (
+            su[slot, 1, lo:W] - (_rp(qc, 1) - qc) / dx[1]
+        )
+        suw[slot, 2, lo:W] = (
+            su[slot, 2, lo:W] - (_rp(qc, 2) - qc) / dx[2]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        qlist = [qtrans(p, 0) for p in range(W + 1)]
+        recon(qlist, 0)
+        sqt[:, :] = qlist[W]
+
+    @pl.when(i > 0)
+    def _():
+        qlist = [sqt[:, :]] + [qtrans(p, slot) for p in range(ng + 1, W + 1)]
+        recon(qlist, ng)
+        sqt[:, :] = qlist[bx]
+
+    @pl.when(i + 1 < nslab)
+    def _():
+        suw[1 - slot, :, 0:ng] = suw[slot, :, bx : bx + ng]
+        for q in range(n_dma):
+            sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
+
+    off = ng_lo - 2
+
+    def at(a, lo_sh, hi_off):
+        return suw[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
+
+    idx_bf = m + 1
+    idx_acc = idx_bf + with_bf
+    _stage_tail(
+        at, coeffs_smem,
+        k_out, ut_out, divhat_out, usnew_out,
+        vinvy_hbm, vinvzT_hbm,
+        visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
+        emit_k=emit_k, with_usnew=with_usnew,
+        base=lambda a: sb[slot, 0, a],
+        kstream=lambda q, a: sb[slot, q, a],
+        bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
+        usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
+        smag=(
+            (coeffs_smem[m + 1 + with_usnew], smag_d2,
+             lambda a: suw[slot, a, 0:W])
+            if with_smag
+            else None
+        ),
+    )
+
+
+def pcmsd_halo_profitable(lx, n_dma, plane_elems, with_smag=False):
+    """Whether the merged halo kernel should drive the per-shard interior
+    stages (same bar as `pcmsd_profitable`: a slab of >= 4 planes must
+    fit the VMEM budget, else per-window DMA-issue overhead dominates).
+    ``plane_elems`` is ny*nz of the shard block."""
+    bx = _pick_bx(lx, _pcmsd_planes(n_dma, with_smag), plane_elems)
+    return min(bx, lx) >= 4
+
+
+def pcmsd_hat_halo_3d(
+    ut_loc, ut_lo, ut_hi, qhat_loc, qhat_lo, qhat_hi,
+    streams, streams_lo, coeffs, visc, dxs, proj,
+    *, precision="manualhigh", bx=None, interpret=False,
+    emit_k=True, usnew_coeff=None, bodyforce=None, bodyforce_lo=None,
+    usnew_base=None, smag=None,
+):
+    """`pcmsd_hat_3d` on an x-slab shard block with segmented halo DMAs:
+    the merged pressure-correction + momentum + stage + divergence
+    kernel, ghost planes ppermute'd by `parallel/halo.py`.
+
+    ``ut_loc`` (3, lx, ny, nz) / ``qhat_loc`` (lx, ny, nz): the previous
+    stage's uncorrected velocity and eigen-basis pressure;
+    ``ut_lo``/``ut_hi``: the ring neighbours' (ng_lo, ng_hi) boundary
+    planes of ut; ``qhat_lo``/``qhat_hi``: their (ng_lo, ng_hi+1) qhat
+    planes (the x-gradient needs one more q plane above the u window).
+    ``streams``/``streams_lo`` as in `momentum_stage_divhat_halo_3d`.
+    Output layout matches `pcmsd_hat_3d` at local extent."""
+    D, lx, ny, nz = ut_loc.shape
+    assert D == 3 and ny == nz
+    with_smag = smag is not None
+    ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
+    ng = ng_lo + ng_hi
+    assert ut_lo.shape == (3, ng_lo, ny, nz), (ut_lo.shape, ng_lo)
+    assert ut_hi.shape == (3, ng_hi, ny, nz), (ut_hi.shape, ng_hi)
+    assert qhat_loc.shape == (lx, ny, nz)
+    assert qhat_lo.shape == (ng_lo, ny, nz), (qhat_lo.shape, ng_lo)
+    assert qhat_hi.shape == (ng_hi + 1, ny, nz), (qhat_hi.shape, ng_hi)
+    streams = tuple(streams)
+    streams_lo = tuple(streams_lo)
+    coeffs = tuple(coeffs)
+    m = len(streams) - 1
+    assert len(coeffs) == m + 1 and len(streams_lo) == m + 1
+    for st in streams:
+        assert st.shape == (3, lx, ny, nz), (st.shape, lx)
+    with_bf = bodyforce is not None
+    with_accbase = usnew_base is not None
+    assert not (with_accbase and usnew_coeff is None)
+    if with_bf:
+        streams = streams + (bodyforce,)
+        streams_lo = streams_lo + (bodyforce_lo,)
+    if with_accbase:
+        # the accbase window's lower ghost plane is never read (usnew is
+        # elementwise on the output planes) — feed its own first plane
+        streams = streams + (usnew_base,)
+        streams_lo = streams_lo + (
+            jax.lax.slice_in_dim(usnew_base, 0, 1, axis=1),
+        )
+    n_dma = len(streams)
+    vol = float(np.prod(dxs))
+    with_usnew = usnew_coeff is not None
+    if bx is None:
+        bx = _pick_bx(lx, _pcmsd_planes(n_dma, with_smag), ny * nz)
+    while lx % bx != 0:
+        bx //= 2
+    # the partial windows' branched top DMAs need bx >= ng_hi + 1
+    while bx < ng_hi + 1:
+        bx *= 2
+    assert lx % bx == 0 and bx >= ng_hi + 1, (lx, bx, ng_hi)
+    kernel = functools.partial(
+        _pcmsd_hat_halo_kernel,
+        visc=float(visc),
+        dx=tuple(map(float, dxs)),
+        vol=vol,
+        bx=bx,
+        lx=lx,
+        manualhigh=(precision == "manualhigh"),
+        m=m,
+        emit_k=emit_k,
+        with_usnew=with_usnew,
+        with_bf=with_bf,
+        with_accbase=with_accbase,
+        smag_d2=(float(smag[1]) if with_smag else None),
+    )
+    all_coeffs = (
+        list(coeffs)
+        + ([usnew_coeff] if with_usnew else [])
+        + ([smag[0]] if with_smag else [])
+    )
+    coeff_arr = jnp.stack(
+        [jnp.asarray(c, ut_loc.dtype) for c in all_coeffs]
+    ).reshape(len(all_coeffs))
+    vec_spec = pl.BlockSpec(
+        (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca_spec = pl.BlockSpec(
+        (bx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_shape = jax.ShapeDtypeStruct((3, lx, ny, nz), ut_loc.dtype)
+    out_specs = (
+        ([vec_spec] if emit_k else [])
+        + [vec_spec, sca_spec]
+        + ([vec_spec] if with_usnew else [])
+    )
+    out_shape = (
+        ([vec_shape] if emit_k else [])
+        + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), ut_loc.dtype)]
+        + ([vec_shape] if with_usnew else [])
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(lx // bx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (6 + 2 * n_dma)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bx + ng, ny, nz), ut_loc.dtype),
+            pltpu.VMEM((2, 3, bx + ng, ny, nz), ut_loc.dtype),
+            pltpu.VMEM((2, bx + ng + 1, ny, nz), ut_loc.dtype),
+            pltpu.VMEM((ny, nz), ut_loc.dtype),
+            pltpu.VMEM((2, n_dma, 3, bx + 1, ny, nz), ut_loc.dtype),
+            pltpu.SemaphoreType.DMA((2, 6 + 2 * n_dma)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        coeff_arr, ut_loc, ut_lo, ut_hi, qhat_loc, qhat_lo, qhat_hi,
+        *streams, *streams_lo,
         proj["V"], proj["VT"], proj["Vinv"], proj["VinvT"],
     )
 

@@ -95,7 +95,7 @@ def _halo_pad(v, dim, axis_name, nshards, lo=1, hi=1):
 def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                         donate=False, cg_maxiter=None, cg_reltol=None,
                         projection_precision="manualhigh",
-                        pallas_interpret=False):
+                        pallas_interpret=False, merge="auto"):
     """Build `step(state, dt, theta=None) -> state` for a 3D uniform
     periodic setup on x-slab (1-D mesh `("x",)`) or x/y-pencil (2-D mesh
     `("x", "y")`) sharded interior fields.
@@ -207,6 +207,8 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     from ..ops.pallas_kernels import (
         convdiff_interior_3d,
         momentum_stage_divhat_halo_3d,
+        pcmsd_halo_profitable,
+        pcmsd_hat_halo_3d,
         pressure_correct_3d,
         pressure_correct_qhat_halo_3d,
         smagorinsky_force_3d,
@@ -615,6 +617,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         return project_local(base + coeff * k)
 
     # ---------------- steppers ----------------
+    use_merged = False
     if use_fused_local:
         # Fully-fused per-shard chain (the single-chip production path,
         # carried to shards): momentum + in-kernel tableau accumulation
@@ -647,9 +650,13 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                     out = out.at[gdir].add(b)
             return out
 
-        def fused_stage(u, streams, streams_lo, coeffs, *, force,
-                        emit_k=True, usnew_coeff=None, usnew_base=None,
-                        smag=None):
+        def fused_stage_hat(u, streams, streams_lo, coeffs, *, force,
+                            emit_k=True, usnew_coeff=None, usnew_base=None,
+                            smag=None):
+            """Stage kernel + pass B with the correction DEFERRED:
+            returns (k|None, ut, qhat, usnew|None) — feed (ut, qhat) to
+            `correct` or let the next `merged_stage` reconstruct u in
+            VMEM (the single-chip merged chain, carried to shards)."""
             glo, ghi = (3, 2) if smag is not None else (2, 1)
             res = momentum_stage_divhat_halo_3d(
                 u, _x_lo(u, glo), _x_hi(u, ghi),
@@ -665,12 +672,52 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             k = res.pop(0) if emit_k else None
             ut, divhat = res.pop(0), res.pop(0)
             usnew = res.pop(0) if usnew_coeff is not None else None
-            qhat = passB_dist(divhat)
-            un = pressure_correct_qhat_halo_3d(
+            return k, ut, passB_dist(divhat), usnew
+
+        def merged_stage(ut, qhat, streams, streams_lo, coeffs, *, force,
+                         emit_k=False, usnew_coeff=None, usnew_base=None,
+                         smag=None):
+            """`fused_stage_hat` with the PREVIOUS stage's pressure
+            correction merged in (per-shard `pcmsd_hat_halo_3d`): u is
+            reconstructed in VMEM from halo'd (ut, qhat) ghost planes
+            and never round-trips HBM between interior stages."""
+            glo, ghi = (3, 2) if smag is not None else (2, 1)
+            res = pcmsd_hat_halo_3d(
+                ut, _x_lo(ut, glo), _x_hi(ut, ghi),
+                qhat, _x_lo(qhat, glo), _x_hi(qhat, ghi + 1),
+                streams, streams_lo, coeffs, visc_static, dxs, projd,
+                emit_k=emit_k, usnew_coeff=usnew_coeff,
+                bodyforce=force,
+                bodyforce_lo=(_x_lo(force, 1) if force is not None else None),
+                usnew_base=usnew_base, smag=smag,
+                precision=prec, **kw,
+            )
+            res = list(res)
+            k = res.pop(0) if emit_k else None
+            ut2, divhat = res.pop(0), res.pop(0)
+            usnew = res.pop(0) if usnew_coeff is not None else None
+            return k, ut2, passB_dist(divhat), usnew
+
+        def correct(ut, qhat):
+            return pressure_correct_qhat_halo_3d(
                 ut, qhat, _x_hi(qhat, 1), dxs, projd["V"], projd["VT"],
                 precision=prec, **kw,
             )
-            return k, un, usnew
+
+        def fused_stage(u, streams, streams_lo, coeffs, *, force,
+                        emit_k=True, usnew_coeff=None, usnew_base=None,
+                        smag=None):
+            k, ut, qhat, usnew = fused_stage_hat(
+                u, streams, streams_lo, coeffs, force=force, emit_k=emit_k,
+                usnew_coeff=usnew_coeff, usnew_base=usnew_base, smag=smag,
+            )
+            return k, correct(ut, qhat), usnew
+
+        def _merge_on(n_dma):
+            if merge != "auto":
+                return bool(merge)
+            return pcmsd_halo_profitable(lx, n_dma, ny * nz,
+                                         with_smag=_smag)
 
         if isinstance(method, ExplicitRungeKuttaMethod):
             A, c, ns = method.A, method.c, method.nstage
@@ -680,8 +727,49 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             lowstorage_rows = ns >= 2 and all(
                 A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
             )
+            # Merged chain (the single-chip production interior-stage
+            # kernel, carried to shards): u materializes in HBM once per
+            # step.  Needs the b-row structure and no temperature (the
+            # temp RHS reads the corrected u, which never materializes).
+            use_merged = (
+                lowstorage_rows and tq is None
+                and _merge_on(2 + (bf_int is not None))
+            )
+
+            def step_merged(u, temp, dt, theta, bf):
+                ustart = u
+                ustart_lo = _x_lo(ustart, 1)
+                force = force_nosmag(None, bf)
+                acc = ustart
+                ut = qhat = None
+                for i in range(ns):
+                    last = i == ns - 1
+                    bcoef = A[ns - 1][i]
+                    unc = dt * bcoef if (bcoef != 0.0 and not last) else None
+                    ub = None if (unc is None or acc is ustart) else acc
+                    if i == 0:
+                        _, ut, qhat, usnew = fused_stage_hat(
+                            u, (ustart,), (ustart_lo,), (dt * A[i][i],),
+                            force=force, emit_k=False, usnew_coeff=unc,
+                            smag=smag_arg(theta),
+                        )
+                    else:
+                        st = (acc,) if last else (ustart,)
+                        st_lo = (
+                            (_x_lo(acc, 1),) if last else (ustart_lo,)
+                        )
+                        _, ut, qhat, usnew = merged_stage(
+                            ut, qhat, st, st_lo, (dt * A[i][i],),
+                            force=force, emit_k=False, usnew_coeff=unc,
+                            usnew_base=ub, smag=smag_arg(theta),
+                        )
+                    if unc is not None:
+                        acc = usnew
+                return correct(ut, qhat), temp
 
             def step_local(u, temp, dt, theta, bf):
+                if use_merged:
+                    return step_merged(u, temp, dt, theta, bf)
                 ustart = u
                 ustart_lo = _x_lo(ustart, 1)
                 tempstart = temp
@@ -745,8 +833,34 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
         else:  # LMWray3
             a_, b_, c_ = method.a, method.b, method.c
             ns = len(a_)
+            use_merged = tq is None and _merge_on(1 + (bf_int is not None))
+
+            def step_merged(u, temp, dt, theta, bf):
+                ustart = u
+                force = force_nosmag(None, bf)
+                _, ut, qhat, usnew = fused_stage_hat(
+                    u, (ustart,), (_x_lo(ustart, 1),), (dt * a_[0],),
+                    force=force, emit_k=False,
+                    usnew_coeff=(dt * b_[0] if ns > 1 else None),
+                    smag=smag_arg(theta),
+                )
+                if ns > 1:
+                    ustart = usnew
+                for i in range(1, ns):
+                    unc = dt * b_[i] if i < ns - 1 else None
+                    _, ut, qhat, usnew = merged_stage(
+                        ut, qhat, (ustart,), (_x_lo(ustart, 1),),
+                        (dt * a_[i],),
+                        force=force, emit_k=False, usnew_coeff=unc,
+                        smag=smag_arg(theta),
+                    )
+                    if unc is not None:
+                        ustart = usnew
+                return correct(ut, qhat), temp
 
             def step_local(u, temp, dt, theta, bf):
+                if use_merged:
+                    return step_merged(u, temp, dt, theta, bf)
                 ustart = u
                 tempstart = temp
                 for i in range(ns):
@@ -873,5 +987,6 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     # shard_map inside the driver's own jit/scan.
     step.raw = lambda state, dt, theta=None: _call(raw, state, dt, theta)
     step.fused = use_fused_local
+    step.merged = use_fused_local and use_merged
     step.pallas = use_pallas_any
     return step

@@ -191,11 +191,15 @@ def _fast_ref(setup, u0, T0, method, dt, nsteps):
 
 
 @needs8
+@pytest.mark.parametrize("merge", [False, True])
 @pytest.mark.parametrize("method", ["rk44", "lmwray3"])
-def test_halo_fused_chain_matches_fastpath(method):
+def test_halo_fused_chain_matches_fastpath(method, merge):
     """The per-shard FUSED Pallas chain (in-kernel tableau accumulation +
     z/y eigen transforms, all_to_all'd pass B, fused qhat correction) in
-    interpreter mode == the single-chip fast path (f32)."""
+    interpreter mode == the single-chip fast path (f32).  ``merge=True``
+    additionally routes the interior stages through the merged
+    pc+momentum kernel (`pcmsd_hat_halo_3d`: u reconstructed in VMEM,
+    never round-tripping HBM between stages)."""
     n = 32
     setup = _setup3d_f32(n)
     ps = ins.psolver_spectral(setup)
@@ -210,9 +214,11 @@ def test_halo_fused_chain_matches_fastpath(method):
 
     mesh = make_mesh((4,), devices=jax.devices()[:4])
     step = make_halo_fast_step(
-        setup, m, mesh, pallas_interpret=True, projection_precision="highest"
+        setup, m, mesh, pallas_interpret=True,
+        projection_precision="highest", merge=merge,
     )
     assert step.fused, "fused chain must be selected on the x-slab cube"
+    assert step.merged == merge
     s = StepperState(
         u=shard_interior(mesh, u0), temp=None,
         t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
@@ -269,9 +275,11 @@ def test_halo_fused_temperature_bodyforce():
 
 
 @needs8
-def test_halo_fused_smagorinsky():
+@pytest.mark.parametrize("merge", [False, True])
+def test_halo_fused_smagorinsky(merge):
     """Fused halo chain with the natural-form Smagorinsky closure (the
-    north-star LES config, sharded) == the single-chip fast path (f32)."""
+    north-star LES config, sharded) == the single-chip fast path (f32);
+    ``merge=True`` runs the widened-ghost merged kernel."""
     n = 32
     base = _setup3d_f32(n)
     setup = _setup3d_f32(
@@ -289,9 +297,10 @@ def test_halo_fused_smagorinsky():
 
     mesh = make_mesh((4,), devices=jax.devices()[:4])
     step = make_halo_fast_step(
-        setup, m, mesh, pallas_interpret=True, projection_precision="highest"
+        setup, m, mesh, pallas_interpret=True,
+        projection_precision="highest", merge=merge,
     )
-    assert step.fused
+    assert step.fused and step.merged == merge
     s = StepperState(
         u=shard_interior(mesh, u0), temp=None,
         t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
