@@ -3,14 +3,39 @@
 Circular-padded convolution stack on collocated velocities, output
 differentiated back to staggered faces.
 
-TPU memory note: XLA's TPU convolution keeps the feature dim minor, so
-a closure with 3..24 channels wastes most of the 128-wide lane tile on
-every circular-pad intermediate (~128/C x — measured 42x at 128^3,
-an HBM OOM in the a-posteriori gradient).  Large 3D inputs are
-therefore evaluated in x-CHUNKS: the field is circularly halo-padded by
-the stack's total receptive radius once, and `lax.map` runs the conv
-stack slab by slab (VALID in x), which bounds the blown-up temporaries
-to one chunk's worth in both the forward and the backward pass.
+TPU performance notes (measured on v5e, 128^3, radii (2,2,2), channels
+(24,24,3); carry-dependent scan timing so XLA cannot hoist the convs —
+see benchmarks/conv_probe.py; table in BASELINE.md):
+
+1. **Tap folding.** XLA's TPU convolution is contraction-starved when
+   the input-channel count is small (3..24 closure channels leave most
+   of the MXU's 128-wide contraction dim empty): the plain stack runs
+   at 4.4 TFLOP/s.  Folding kernel taps into the input-channel dim
+   helps: for a fold of the x-tap dim, ``g[..., (dx, ci)] =
+   h_pad[x + dx, ..., ci]`` (kx shifted copies concatenated on
+   channels) turns the (5,5,5)xCin conv into a (1,5,5)x(5 Cin) conv
+   with identical FLOPs — measured 7.2 TFLOP/s for the stack (1.64x).
+   Tap dims are folded (x, then y, then z) until the folded channel
+   count reaches 64; folding further measured slower (the concat
+   traffic grows as k^folds while the MXU fill saturates).  Weight
+   tensors keep their canonical (kx,ky,kz,Cin,Cout) parameter shape;
+   the fold is a trace-time transpose+reshape.
+
+2. **bf16 taps.** TPU convs at DEFAULT precision already multiply in
+   bf16 (f32 accumulate), so the folded copies are *stored* bf16 too —
+   identical numerics and wall-clock (measured), half the memory
+   footprint of the fold concat (which is what matters at 256^3).
+
+3. **x-chunking** (memory, large grids): XLA keeps the feature dim
+   minor, so intermediates are lane-padded up to 128 channels; the
+   folded copies reach ~0.5 GB/layer at 128^3 and ~4 GB/layer at
+   256^3, and their backward-pass cotangents land in f32 — an HBM OOM
+   in the a-posteriori gradient (measured at 128^3).  Inputs with
+   ``nx >= chunk_min_nx`` are therefore evaluated in x-CHUNKS: the
+   field is circularly halo-padded by the stack's total receptive
+   radius once, and `lax.map` runs the conv stack slab by slab (VALID
+   in x), which bounds the temporaries to one chunk's worth in both
+   the forward and the backward pass.
 """
 
 from __future__ import annotations
@@ -29,6 +54,59 @@ _DN = {
     3: ("NDHWC", "DHWIO", "NDHWC"),
 }
 
+# Fold kernel-tap dims into input channels until the folded channel
+# count reaches this (MXU contraction-dim fill; see module docstring).
+_FOLD_TARGET = 64
+
+
+def _fold_count(cin, k, D):
+    f, c = 0, cin
+    while c < _FOLD_TARGET and f < D:
+        c *= k
+        f += 1
+    return f
+
+
+def _fold_conv(h, w, r, pad_axes, compute_dtype):
+    """One conv layer via the tap-folding formulation.
+
+    `h`: (N, *spatial, cin); `w`: ((2r+1),)*D + (cin, cout) canonical
+    weights.  `pad_axes[d]` selects wrap-padding by r on spatial dim d;
+    where False the halo is assumed supplied by the caller (chunked
+    path) and the conv is VALID.  Output is f32-accumulated in the
+    input's dtype.
+    """
+    D = h.ndim - 2
+    k = 2 * r + 1
+    cin, cout = w.shape[-2], w.shape[-1]
+    f = _fold_count(cin, k, D) if r > 0 else 0
+    pads = (
+        [(0, 0)]
+        + [((r, r) if pad_axes[d] else (0, 0)) for d in range(D)]
+        + [(0, 0)]
+    )
+    g = jnp.pad(h, pads, mode="wrap") if (r > 0 and any(pad_axes)) else h
+    g = g.astype(compute_dtype)
+    wf = w.astype(compute_dtype)  # (*taps, C, cout)
+    for ax in range(f):
+        ext = g.shape[1 + ax] - 2 * r
+        g = jnp.concatenate(
+            [jax.lax.slice_in_dim(g, d, d + ext, axis=1 + ax)
+             for d in range(k)],
+            axis=-1,
+        )
+        # channels are now (d_ax major, C minor): move this tap dim of
+        # the weight next to C and merge, matching the concat order.
+        wf = jnp.moveaxis(wf, 0, -3)
+        wf = wf.reshape(*wf.shape[:-3], wf.shape[-3] * wf.shape[-2], cout)
+    kernel = wf.reshape((1,) * f + wf.shape)
+    # Same-dtype conv (the MXU still accumulates f32 for bf16 inputs);
+    # a mixed preferred_element_type breaks the conv transpose rule.
+    out = jax.lax.conv_general_dilated(
+        g, kernel, (1,) * D, "VALID", dimension_numbers=_DN[D],
+    )
+    return out.astype(h.dtype)
+
 
 class CNN(nn.Module):
     radii: tuple
@@ -37,6 +115,10 @@ class CNN(nn.Module):
     use_bias: tuple
     dtype: object = jnp.float32
     chunk_x: int = 16  # x-chunk size for large 3D inputs
+    chunk_min_nx: int = 128  # chunk only at/above this x extent
+    # conv compute dtype; None = bf16 when dtype is f32 (TPU convs
+    # multiply in bf16 at DEFAULT precision anyway — docstring note 2)
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +126,6 @@ class CNN(nn.Module):
         assert self.channels[-1] == D, "Output must have D force channels"
         in_dtype = x.dtype
         x = collocate(x).astype(self.dtype)  # (N, *spatial, D)
-        dn = _DN[D]
         kinit = jax.nn.initializers.lecun_normal()
         ws, bs = [], []
         cin = D
@@ -62,15 +143,14 @@ class CNN(nn.Module):
             )
             cin = cout
 
+        cdt = self.compute_dtype
+        if cdt is None:
+            cdt = jnp.bfloat16 if self.dtype == jnp.float32 else self.dtype
+
         def stack(h, pad_x):
             for i, r in enumerate(self.radii):
-                pads = [(0, 0)] + [(r, r)] * D + [(0, 0)]
-                if not pad_x:
-                    pads[1] = (0, 0)  # x halo supplied by the caller
-                h = jnp.pad(h, pads, mode="wrap")
-                h = jax.lax.conv_general_dilated(
-                    h, ws[i], (1,) * D, "VALID", dimension_numbers=dn,
-                )
+                pad_axes = (pad_x,) + (True,) * (D - 1)
+                h = _fold_conv(h, ws[i], r, pad_axes, cdt)
                 if bs[i] is not None:
                     h = h + bs[i]
                 h = self.activations[i](h)
@@ -79,7 +159,7 @@ class CNN(nn.Module):
         R = sum(self.radii)
         nx = x.shape[1]
         cx = self.chunk_x
-        if D == 3 and nx % cx == 0 and nx >= 4 * cx:
+        if D == 3 and nx >= self.chunk_min_nx and nx % cx == 0:
             # x-chunked evaluation (see module docstring)
             xp = jnp.pad(
                 x, [(0, 0), (R, R)] + [(0, 0)] * D, mode="wrap"

@@ -276,27 +276,56 @@ def test_cnn_chunked_matches_direct():
     docstring)."""
     import ins_tpu as ins
     from ins_tpu.models import cnn
+    from ins_tpu.models.cnn import CNN
 
-    n = 64  # >= 4 * chunk_x -> chunked path
+    n = 64
     x = (np.linspace(0.0, 2 * np.pi, n + 1),) * 3
     bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3,
                       dtype=jnp.float32)
-    closure, theta = cnn(
+    _, theta = cnn(
         setup=setup, radii=[2, 1], channels=[6, 3],
         activations=[jnp.tanh, lambda v: v], use_bias=[True, False],
         rng=jax.random.PRNGKey(0),
     )
     u = jax.random.normal(jax.random.PRNGKey(1), (2, n, n, n, 3),
                           jnp.float32)
-    out_chunked = closure(u, theta)
-
-    # direct path: same params, chunking disabled via a huge chunk_x
-    from ins_tpu.models.cnn import CNN
-
-    model = CNN(radii=(2, 1), channels=(6, 3),
-                activations=(jnp.tanh, lambda v: v),
-                use_bias=(True, False), dtype=jnp.float32,
-                chunk_x=10**6)
-    out_direct = model.apply({"params": theta}, u)
+    # f32 compute: XLA's CPU bf16 conv accumulates in bf16, so the
+    # chunked/direct comparison would otherwise inherit lowering noise
+    kw = dict(radii=(2, 1), channels=(6, 3),
+              activations=(jnp.tanh, lambda v: v),
+              use_bias=(True, False), dtype=jnp.float32,
+              compute_dtype=jnp.float32)
+    chunked = CNN(chunk_x=16, chunk_min_nx=n, **kw)
+    direct = CNN(chunk_x=10**6, **kw)
+    out_chunked = chunked.apply({"params": theta}, u)
+    out_direct = direct.apply({"params": theta}, u)
     assert float(jnp.max(jnp.abs(out_chunked - out_direct))) < 1e-5
+
+
+def test_cnn_fold_conv_matches_plain():
+    """The tap-folded conv formulation (MXU contraction-dim fill;
+    cnn.py module docstring) is algebraically identical to the plain
+    circular conv — exact at f32 compute, ~bf16-rounded at bf16."""
+    from ins_tpu.models.cnn import _DN, _fold_conv
+
+    rng = jax.random.PRNGKey(2)
+    for D, n in ((2, 24), (3, 12)):
+        for r, cin, cout in ((1, 3, 8), (2, 3, 24), (2, 24, 24)):
+            k1, k2, rng = jax.random.split(rng, 3)
+            h = jax.random.normal(k1, (2,) + (n,) * D + (cin,), jnp.float32)
+            w = 0.3 * jax.random.normal(
+                k2, (2 * r + 1,) * D + (cin, cout), jnp.float32)
+            pads = [(0, 0)] + [(r, r)] * D + [(0, 0)]
+            ref = jax.lax.conv_general_dilated(
+                jnp.pad(h, pads, mode="wrap"), w, (1,) * D, "VALID",
+                dimension_numbers=_DN[D],
+            )
+            out32 = _fold_conv(h, w, r, (True,) * D, jnp.float32)
+            # reassociation-only tolerance (values are O(10) sums of
+            # ~3000 products); bf16 compute would differ by ~1e-1
+            np.testing.assert_allclose(
+                np.asarray(out32), np.asarray(ref), rtol=1e-4, atol=5e-5)
+            outbf = _fold_conv(h, w, r, (True,) * D, jnp.bfloat16)
+            scale = float(jnp.max(jnp.abs(ref)))
+            assert float(jnp.max(jnp.abs(outbf - ref))) < 0.05 * scale
