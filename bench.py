@@ -54,16 +54,31 @@ def run_case(N, nwarm, nstep, method=None, les=False):
     from ins_tpu.ops.fastpath import (
         fastpath_applicable,
         make_fast_timestep,
+        make_fast_timestep_hat,
         strip_ghosts,
     )
 
     assert fastpath_applicable(setup, method, psolver)
     fast_step = make_fast_timestep(setup, method)
+    # Step-boundary merge (hat carry), exactly as solve_unsteady's
+    # fixed-dt scan chunks run it; None where the merged chain is off
+    # (512^3).
+    hat_fns = make_fast_timestep_hat(setup, method)
 
     # Scan chunks, exactly how solve_unsteady runs the hot loop (one
     # device dispatch per chunk, not per step).
     @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
     def scan_steps(state, nsteps):
+        if hat_fns is not None:
+            to_hat, step_hat, from_hat = hat_fns
+            h = to_hat(state)
+
+            def hbody(hi, _):
+                return step_hat(hi, dt, theta), None
+
+            h, _ = jax.lax.scan(hbody, h, None, length=nsteps)
+            return from_hat(h)
+
         def body(s, _):
             return fast_step(s, dt, theta), None
 

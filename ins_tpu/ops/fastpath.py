@@ -17,6 +17,7 @@ wrap pad, which *is* the periodic BC fill).
 from __future__ import annotations
 
 from functools import partial
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,24 @@ __all__ = [
     "strip_state",
     "reghost_state",
     "make_fast_timestep",
+    "make_fast_timestep_hat",
+    "HatState",
 ]
+
+
+class HatState(NamedTuple):
+    """Scan carry for the step-boundary-merged chain: the velocity is
+    held as its UNCORRECTED form plus the eigen-basis pressure
+    ``(ut, qhat)`` — ``u = correct(ut, qhat)`` is only materialized at
+    chunk boundaries (`from_hat`), and stage 0 of each step reconstructs
+    it in VMEM (`pcmsd_hat_3d(streams=(RECON, ...))`), saving one full
+    velocity HBM round-trip per step."""
+
+    ut: Any
+    qhat: Any
+    temp: Any
+    t: Any
+    n: Any
 
 
 def fastpath_applicable(setup, method, psolver):
@@ -103,8 +121,26 @@ def _roll_m(v, d):  # v[I - e_d]
     return jnp.roll(v, 1, axis=d)
 
 
+def make_fast_timestep_hat(setup, method, *,
+                           projection_precision="manualhigh"):
+    """Step-boundary-merged fast path: returns ``(to_hat, step_hat,
+    from_hat)`` where the scan carry is a `HatState` holding
+    ``(ut, qhat)`` instead of u — the final pressure correction of step
+    s runs as stage 0 of step s+1 (`pcmsd_hat_3d` with a RECON base),
+    so the corrected velocity never round-trips HBM inside a scan
+    chunk.  ``to_hat`` enters with ``(ut=u, qhat=0)`` (an exact
+    identity: u - grad(0) = u); ``from_hat`` materializes u.  Returns
+    ``None`` when the merged chain is inapplicable (then use
+    `make_fast_timestep`)."""
+    return make_fast_timestep(
+        setup, method, projection_precision=projection_precision,
+        _hat=True,
+    )
+
+
 def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
-                       differentiable=False, pallas_interpret=False):
+                       differentiable=False, pallas_interpret=False,
+                       _hat=False):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
     Reproduces the math of the ghosted ERK/LMWray3 steppers (which mirror
@@ -194,6 +230,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
     # an unfused copy on TPU, so the roll-graph glue is pure data movement);
     # the roll graph remains the fallback (CPU, 2D, unaligned n).
     from .pallas_kernels import (
+        RECON,
         convdiff_interior_3d,
         fused_cube_supported,
         momentum_stage_divhat_3d,
@@ -403,23 +440,28 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
 
     def merged_stage_hat(ut, qhat, streams, coeffs, *, force,
                          emit_k=False, usnew_coeff=None, usnew_base=None,
-                         smag=None):
+                         smag=None, emit_u=False):
         """`fused_stage_hat` with the PREVIOUS stage's pressure
         correction merged in: u = ut - grad(q) is reconstructed in VMEM
         (ring-carried) and never round-trips HBM between interior
         stages (`pcmsd_hat_3d`); the Smagorinsky force can ride the
-        reconstruction window."""
+        reconstruction window.  ``streams[0] is RECON`` uses the
+        reconstruction itself as the tableau base (step-boundary
+        merge); ``emit_u`` appends the reconstructed u to the return."""
         res = pcmsd_hat_3d(
             ut, qhat, streams, coeffs, visc_static, dxs, proj,
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
-            precision=projection_precision, smag=smag,
+            precision=projection_precision, smag=smag, emit_u=emit_u,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
         ut2, divhat = res.pop(0), res.pop(0)
         usnew = res.pop(0) if usnew_coeff is not None else None
-        return k, ut2, proj["passB"](divhat), usnew
+        out = (k, ut2, proj["passB"](divhat), usnew)
+        if emit_u:
+            out = out + (res.pop(0),)
+        return out
 
     def correct(ut, qhat):
         return pressure_correct_qhat_3d(
@@ -490,6 +532,39 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             return StepperState(
                 u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
             )
+
+        def step_merged_hat(h, dt, theta):
+            """`step_merged` on a (ut, qhat) carry: stage 0 is the
+            step-boundary merge (base = in-kernel reconstruction of the
+            previous step's corrected u, which is also emitted for the
+            later stages' ustart reads) and the final correction is
+            deferred to the NEXT step — u never round-trips HBM
+            between scan steps."""
+            ut, qhat, temp, t, n = h
+            for i in range(ns):
+                last = i == ns - 1
+                bcoef = A[ns - 1][i]
+                unc = dt * bcoef if (bcoef != 0.0 and not last) else None
+                if i == 0:
+                    _, ut, qhat, usnew, ustart = merged_stage_hat(
+                        ut, qhat, (RECON,), (dt * A[i][i],),
+                        force=bodyforce_int, emit_k=False,
+                        usnew_coeff=unc, smag=smag_arg(theta),
+                        emit_u=True,
+                    )
+                    acc = usnew if unc is not None else ustart
+                else:
+                    ub = None if (unc is None or acc is ustart) else acc
+                    _, ut, qhat, usnew = merged_stage_hat(
+                        ut, qhat, ((acc,) if last else (ustart,)),
+                        (dt * A[i][i],),
+                        force=bodyforce_int, emit_k=False,
+                        usnew_coeff=unc, usnew_base=ub,
+                        smag=smag_arg(theta),
+                    )
+                    if unc is not None:
+                        acc = usnew
+            return HatState(ut=ut, qhat=qhat, temp=temp, t=t + dt, n=n + 1)
 
         def step_unmerged(state, dt, theta):
             u, temp, t, n = state
@@ -598,6 +673,31 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                 u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
             )
 
+        def step_merged_hat(h, dt, theta):
+            """`step_merged` on a (ut, qhat) carry (see the ERK twin).
+            LMWray3's later stages only read the ACCUMULATOR (usnew),
+            never ustart itself, so stage 0 skips even the emit_u
+            write — the step-boundary merge saves a full u write+read
+            per step here."""
+            ut, qhat, temp, t, n = h
+            _, ut, qhat, usnew = merged_stage_hat(
+                ut, qhat, (RECON,), (dt * a_[0],), force=bodyforce_int,
+                emit_k=False,
+                usnew_coeff=(dt * b_[0] if ns > 1 else None),
+                smag=smag_arg(theta),
+            )
+            ustart = usnew
+            for i in range(1, ns):
+                unc = dt * b_[i] if i < ns - 1 else None
+                _, ut, qhat, usnew = merged_stage_hat(
+                    ut, qhat, (ustart,), (dt * a_[i],),
+                    force=bodyforce_int, emit_k=False, usnew_coeff=unc,
+                    smag=smag_arg(theta),
+                )
+                if unc is not None:
+                    ustart = usnew
+            return HatState(ut=ut, qhat=qhat, temp=temp, t=t + dt, n=n + 1)
+
         def step_unmerged(state, dt, theta):
             u, temp, t, n = state
             tstart = t
@@ -630,4 +730,22 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
 
         step = step_merged if use_merged else step_unmerged
 
+    if _hat:
+        if not use_merged:
+            return None
+        Np_t = tuple(int(v) for v in Np)
+
+        def to_hat(state):
+            # qhat = 0 is an exact identity: u - grad(invtransform(0)) = u
+            return HatState(
+                ut=state.u, qhat=jnp.zeros(Np_t, state.u.dtype),
+                temp=state.temp, t=state.t, n=state.n,
+            )
+
+        def from_hat(h):
+            return StepperState(
+                u=correct(h.ut, h.qhat), temp=h.temp, t=h.t, n=h.n
+            )
+
+        return to_hat, step_merged_hat, from_hat
     return step

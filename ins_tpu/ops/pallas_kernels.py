@@ -42,7 +42,14 @@ __all__ = [
     "smagorinsky_force_3d",
     "smagorinsky_force_halo_3d",
     "pallas_supported",
+    "RECON",
 ]
+
+# Sentinel for `pcmsd_hat_3d(streams=(RECON, ...))`: the tableau base is
+# the kernel's own reconstructed velocity (no ustart DMA stream) — the
+# step-boundary merge, where the final pressure correction of step s
+# rides stage 0 of step s+1.
+RECON = object()
 
 
 def _pick_bx(nx, planes_of_bx, plane_elems=None, budget_bytes=96 * 1024 * 1024):
@@ -2081,6 +2088,7 @@ def _pcmsd_hat_kernel(
     coeffs_smem, utprev_hbm, qhat_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k, with_usnew,
     with_bf=False, with_accbase=False, smag_d2=None,
+    base_is_recon=False, emit_u=False,
 ):
     """Merged pressure-correction + next-stage momentum kernel.
 
@@ -2099,19 +2107,28 @@ def _pcmsd_hat_kernel(
     planes reconstructed — HBM reads, transform MXU work, and
     reconstruction VPU work are all exactly 1x.  This removes the
     (bx+4)/bx recompute that made the merged kernel LOSE to the unmerged
-    chain in round 2 (256^3 RK44 14.2 vs 13.3 ms/step)."""
-    n_dma = m + 1 + with_bf + with_accbase
-    streams = args[:n_dma]       # ustart, k_1..k_m [, bf][, accbase]
+    chain in round 2 (256^3 RK44 14.2 vs 13.3 ms/step)).
+
+    ``base_is_recon``: the tableau base (streams[0]) IS the
+    reconstructed velocity — no ustart stream is DMA'd (the step-
+    boundary merge: the final correction of step s rides stage 0 of
+    step s+1, so u never materializes in HBM between scan steps).
+    ``emit_u`` appends the reconstructed u as an extra output (RK44's
+    later stages read ustart from HBM; LMWray3's don't need it)."""
+    n_dma = m + 1 - base_is_recon + with_bf + with_accbase
+    streams = args[:n_dma]       # [ustart,] k_1..k_m [, bf][, accbase]
     vy_hbm = args[n_dma]
     vzT_hbm = args[n_dma + 1]
     vinvy_hbm = args[n_dma + 2]
     vinvzT_hbm = args[n_dma + 3]
-    outs = list(args[n_dma + 4 : n_dma + 4 + emit_k + 2 + with_usnew])
-    rest = args[n_dma + 4 + emit_k + 2 + with_usnew :]
+    nout = emit_k + 2 + with_usnew + emit_u
+    outs = list(args[n_dma + 4 : n_dma + 4 + nout])
+    rest = args[n_dma + 4 + nout :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
+    u_out = outs.pop(0) if emit_u else None
     su, suw, sq, sqt, sb, sems = rest
 
     i = pl.program_id(0)
@@ -2275,16 +2292,22 @@ def _pcmsd_hat_kernel(
     def at(a, lo_sh, hi_off):
         return suw[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
 
-    idx_bf = m + 1
+    idx_bf = m + 1 - base_is_recon
     idx_acc = idx_bf + with_bf
+    if base_is_recon:
+        # tableau base = the reconstructed u window ([start-1,
+        # start+bx-1] <-> suw positions [ng_lo-1, ng_lo+bx-1])
+        base_fn = lambda a: suw[slot, a, ng_lo - 1 : ng_lo + bx]  # noqa: E731
+    else:
+        base_fn = lambda a: sb[slot, 0, a]  # noqa: E731
     _stage_tail(
         at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
-        base=lambda a: sb[slot, 0, a],
-        kstream=lambda q, a: sb[slot, q, a],
+        base=base_fn,
+        kstream=lambda q, a: sb[slot, q - base_is_recon, a],
         bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
         smag=(
@@ -2294,11 +2317,14 @@ def _pcmsd_hat_kernel(
             else None
         ),
     )
+    if emit_u:
+        for a in range(3):
+            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx]
 
 
-def _pcmsd_planes(n_dma, with_smag):
+def _pcmsd_planes(n_dma, with_smag, emit_u=False):
     """VMEM plane-count estimate for the merged kernel's `_pick_bx`."""
-    nout = 3 + 1 + 3
+    nout = 3 + 1 + 3 + 3 * emit_u
     ng = 5 if with_smag else 3
     extra = 20 * (ng + 2) if with_smag else 0
 
@@ -2325,7 +2351,7 @@ def pcmsd_hat_3d(
     ut_prev, qhat, streams, coeffs, visc, dxs, proj,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, usnew_base=None,
-    smag=None,
+    smag=None, emit_u=False,
 ):
     """Merged pressure-correction + momentum + stage + divergence, one
     HBM pass: reconstructs ``u = ut_prev - grad(q)`` in VMEM (q's
@@ -2341,7 +2367,15 @@ def pcmsd_hat_3d(
     the production interior-stage kernel: it saves the corrected
     velocity's HBM write+read per stage vs the unmerged
     pc_qhat -> msd_hat chain at identical MXU cost (round 2's merged
-    form lost because it re-transformed (bx+4)/bx of q per slab)."""
+    form lost because it re-transformed (bx+4)/bx of q per slab).
+
+    ``streams[0] is RECON``: the tableau base is the kernel's OWN
+    reconstructed velocity (no ustart DMA) — the step-boundary merge:
+    scan steps carry (ut, qhat) and the final correction of step s runs
+    as stage 0 of step s+1, so u never round-trips HBM between steps.
+    ``emit_u`` additionally writes the reconstructed u (RK44's later
+    stages read it back as ustart; LMWray3's accumulator chain doesn't
+    need it)."""
     D, n, ny, nz = ut_prev.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -2351,7 +2385,9 @@ def pcmsd_hat_3d(
     with_bf = bodyforce is not None
     with_accbase = usnew_base is not None
     assert not (with_accbase and usnew_coeff is None)
-    dma_streams = streams
+    base_is_recon = streams[0] is RECON
+    assert not (base_is_recon and m > 0), "RECON base allows no k streams"
+    dma_streams = streams[1:] if base_is_recon else streams
     if with_bf:
         dma_streams = dma_streams + (bodyforce,)
     if with_accbase:
@@ -2362,7 +2398,7 @@ def pcmsd_hat_3d(
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
     if bx is None:
-        bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag))
+        bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag, emit_u))
     while n % bx != 0:
         bx //= 2
     if bx == n:  # ring-carry window layout needs >= 2 windows
@@ -2382,6 +2418,8 @@ def pcmsd_hat_3d(
         with_bf=with_bf,
         with_accbase=with_accbase,
         smag_d2=(float(smag[1]) if with_smag else None),
+        base_is_recon=base_is_recon,
+        emit_u=emit_u,
     )
     all_coeffs = (
         list(coeffs)
@@ -2402,11 +2440,13 @@ def pcmsd_hat_3d(
         ([vec_spec] if emit_k else [])
         + [vec_spec, sca_spec]
         + ([vec_spec] if with_usnew else [])
+        + ([vec_spec] if emit_u else [])
     )
     out_shape = (
         ([vec_shape] if emit_k else [])
         + [vec_shape, jax.ShapeDtypeStruct((n, n, n), ut_prev.dtype)]
         + ([vec_shape] if with_usnew else [])
+        + ([vec_shape] if emit_u else [])
     )
     return pl.pallas_call(
         kernel,
@@ -2421,8 +2461,8 @@ def pcmsd_hat_3d(
             pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
             pltpu.VMEM((2, bx + ng + 1, n, n), ut_prev.dtype),
             pltpu.VMEM((n, n), ut_prev.dtype),
-            pltpu.VMEM((2, n_dma, 3, bx + 1, n, n), ut_prev.dtype),
-            pltpu.SemaphoreType.DMA((2, 4 + ng + 2 * n_dma)),
+            pltpu.VMEM((2, max(n_dma, 1), 3, bx + 1, n, n), ut_prev.dtype),
+            pltpu.SemaphoreType.DMA((2, 4 + ng + 2 * max(n_dma, 1))),
         ],
         # 120 MB: at 512^3 even bx=1 sits at ~110.1 MB (the ring-carry
         # makes HBM traffic bx-independent, so the shallow slab costs

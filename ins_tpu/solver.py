@@ -238,8 +238,31 @@ def solve_unsteady(
         )
         step1 = jax.jit(step, donate_argnums=(0,))
 
+        # Step-boundary merge: fixed-dt scan chunks carry (ut, qhat)
+        # instead of u (fastpath.HatState) — the final pressure
+        # correction of each step rides stage 0 of the next, so the
+        # corrected velocity never round-trips HBM inside a chunk.
+        hat_fns = None
+        if use_fast:
+            from .ops.fastpath import make_fast_timestep_hat
+
+            hat_fns = make_fast_timestep_hat(
+                setup, method,
+                projection_precision=projection_precision or "manualhigh",
+            )
+
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
         def scan_steps(s, dtj, th, nsteps):
+            if hat_fns is not None:
+                to_hat, step_hat, from_hat = hat_fns
+                h = to_hat(s)
+
+                def hbody(hi, _):
+                    return step_hat(hi, dtj, th), None
+
+                h, _ = jax.lax.scan(hbody, h, None, length=nsteps)
+                return from_hat(h)
+
             def body(si, _):
                 return step(si, dtj, th), None
 

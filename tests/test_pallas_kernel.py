@@ -577,3 +577,56 @@ def test_pcmsd_fused_smagorinsky():
         assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 2e-3
         # k_ref already includes F (the bodyforce stream is part of k)
         assert float(jnp.max(jnp.abs(usn - (accb + 0.4 * k_ref)))) < 2e-3
+
+
+def test_pcmsd_recon_base_and_emit_u():
+    """Step-boundary merge: pcmsd with a RECON tableau base (the
+    reconstructed u is the stage base — no ustart stream) + emit_u ==
+    pressure_correct_qhat followed by momentum_stage_divhat on the
+    corrected velocity with ustart = that velocity."""
+    from ins_tpu.ops.pallas_kernels import (
+        RECON,
+        momentum_stage_divhat_3d,
+        pcmsd_hat_3d,
+        pressure_correct_qhat_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(23)
+    ut_prev = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    qhat = 0.1 * jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    cn = 0.21
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    u_ref = pressure_correct_qhat_3d(
+        ut_prev, qhat, dx, proj["V"], proj["VT"], interpret=True
+    )
+    k_ref, ut_ref, dh_ref = momentum_stage_divhat_3d(
+        u_ref, (u_ref,), (cn,), visc, dx, proj["Vinv"], proj["VinvT"],
+        interpret=True,
+    )
+    for bx in (None, 4):
+        # RK44-style stage 0: usnew = recon + c*k, emit the recon
+        ut2, dh2, usn, u_em = pcmsd_hat_3d(
+            ut_prev, qhat, (RECON,), (cn,), visc, dx, proj,
+            interpret=True, emit_k=False, usnew_coeff=0.4, emit_u=True,
+            bx=bx,
+        )
+        assert float(jnp.max(jnp.abs(u_em - u_ref))) < 1e-4
+        assert float(jnp.max(jnp.abs(ut2 - ut_ref))) < 1e-3
+        assert float(jnp.max(jnp.abs(dh2 - dh_ref))) < 5e-2
+        assert float(jnp.max(jnp.abs(usn - (u_ref + 0.4 * k_ref)))) < 1e-3
+
+    # LMWray3-style stage 0: no emit_u, bodyforce stream rides along
+    bf = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    ut3, dh3, usn3 = pcmsd_hat_3d(
+        ut_prev, qhat, (RECON,), (cn,), visc, dx, proj,
+        interpret=True, emit_k=False, usnew_coeff=0.4, bodyforce=bf,
+    )
+    assert float(jnp.max(jnp.abs(ut3 - (ut_ref + cn * bf)))) < 1e-3
+    assert float(
+        jnp.max(jnp.abs(usn3 - (u_ref + 0.4 * (k_ref + bf))))
+    ) < 1e-3
