@@ -179,8 +179,13 @@ class CNN(nn.Module):
         return decollocate(out.astype(in_dtype))
 
 
-def cnn(*, setup, radii, channels, activations, use_bias, rng):
-    """Build `(closure, theta)` (reference cnn.jl:5-48)."""
+def cnn(*, setup, radii, channels, activations, use_bias, rng,
+        compute_dtype=None):
+    """Build `(closure, theta)` (reference cnn.jl:5-48).
+    ``compute_dtype``: conv multiply dtype — None (default) uses bf16
+    for f32 models (TPU convs multiply in bf16 at DEFAULT precision
+    anyway); pass ``jnp.float32`` for bitwise-deterministic f32 convs
+    (e.g. cross-device gradient parity checks)."""
     g = setup.grid
     D = g.dim
     n = tuple(e - s for (s, e) in g.Iu[0])
@@ -190,6 +195,7 @@ def cnn(*, setup, radii, channels, activations, use_bias, rng):
         activations=tuple(activations),
         use_bias=tuple(use_bias),
         dtype=setup.dtype,
+        compute_dtype=compute_dtype,
     )
     return create_closure(
         model, rng=rng, sample_shape=(*n, D), dtype=setup.dtype

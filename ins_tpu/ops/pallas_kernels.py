@@ -2482,6 +2482,7 @@ def _pcmsd_hat_halo_kernel(
     *args,
     visc, dx, vol, bx, lx, manualhigh, m, emit_k, with_usnew,
     with_bf=False, with_accbase=False, smag_d2=None,
+    base_is_recon=False, emit_u=False,
 ):
     """Per-shard `_pcmsd_hat_kernel` (merged pressure-correction +
     next-stage momentum): identical ring-carried reconstruction and
@@ -2492,21 +2493,27 @@ def _pcmsd_hat_halo_kernel(
     planes of the eigen-basis pressure (the z/y transform is per-x-plane
     so halo exchange commutes with it), and each tableau stream's 1
     lower plane in ``streams_lo``.  The corrected velocity u never
-    round-trips HBM between interior RK stages on the shard."""
-    n_dma = m + 1 + with_bf + with_accbase
-    streams = args[:n_dma]       # ustart, k_1..k_m [, bf][, accbase]
+    round-trips HBM between interior RK stages on the shard.
+
+    ``base_is_recon``/``emit_u``: as in `_pcmsd_hat_kernel` — the
+    step-boundary merge's RECON tableau base and reconstructed-u
+    output, for a future (ut, qhat) hat carry across shards."""
+    n_dma = m + 1 - base_is_recon + with_bf + with_accbase
+    streams = args[:n_dma]       # [ustart,] k_1..k_m [, bf][, accbase]
     streams_lo = args[n_dma : 2 * n_dma]
     vy_hbm = args[2 * n_dma]
     vzT_hbm = args[2 * n_dma + 1]
     vinvy_hbm = args[2 * n_dma + 2]
     vinvzT_hbm = args[2 * n_dma + 3]
     o0 = 2 * n_dma + 4
-    outs = list(args[o0 : o0 + emit_k + 2 + with_usnew])
-    rest = args[o0 + emit_k + 2 + with_usnew :]
+    nout = emit_k + 2 + with_usnew + emit_u
+    outs = list(args[o0 : o0 + nout])
+    rest = args[o0 + nout :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
+    u_out = outs.pop(0) if emit_u else None
     su, suw, sq, sqt, sb, sems = rest
 
     i = pl.program_id(0)
@@ -2737,16 +2744,20 @@ def _pcmsd_hat_halo_kernel(
     def at(a, lo_sh, hi_off):
         return suw[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
 
-    idx_bf = m + 1
+    idx_bf = m + 1 - base_is_recon
     idx_acc = idx_bf + with_bf
+    if base_is_recon:
+        base_fn = lambda a: suw[slot, a, ng_lo - 1 : ng_lo + bx]  # noqa: E731
+    else:
+        base_fn = lambda a: sb[slot, 0, a]  # noqa: E731
     _stage_tail(
         at, coeffs_smem,
         k_out, ut_out, divhat_out, usnew_out,
         vinvy_hbm, vinvzT_hbm,
         visc=visc, dx=dx, vol=vol, bx=bx, m=m, manualhigh=manualhigh,
         emit_k=emit_k, with_usnew=with_usnew,
-        base=lambda a: sb[slot, 0, a],
-        kstream=lambda q, a: sb[slot, q, a],
+        base=base_fn,
+        kstream=lambda q, a: sb[slot, q - base_is_recon, a],
         bf=(lambda a: sb[slot, idx_bf, a]) if with_bf else None,
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
         smag=(
@@ -2756,6 +2767,9 @@ def _pcmsd_hat_halo_kernel(
             else None
         ),
     )
+    if emit_u:
+        for a in range(3):
+            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx]
 
 
 def pcmsd_halo_profitable(lx, n_dma, plane_elems, with_smag=False):
@@ -2772,7 +2786,7 @@ def pcmsd_hat_halo_3d(
     streams, streams_lo, coeffs, visc, dxs, proj,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, bodyforce_lo=None,
-    usnew_base=None, smag=None,
+    usnew_base=None, smag=None, emit_u=False,
 ):
     """`pcmsd_hat_3d` on an x-slab shard block with segmented halo DMAs:
     the merged pressure-correction + momentum + stage + divergence
@@ -2784,7 +2798,10 @@ def pcmsd_hat_halo_3d(
     planes of ut; ``qhat_lo``/``qhat_hi``: their (ng_lo, ng_hi+1) qhat
     planes (the x-gradient needs one more q plane above the u window).
     ``streams``/``streams_lo`` as in `momentum_stage_divhat_halo_3d`.
-    Output layout matches `pcmsd_hat_3d` at local extent."""
+    Output layout matches `pcmsd_hat_3d` at local extent.
+    ``streams[0] is RECON`` (with ``streams_lo[0]`` also the sentinel)
+    and ``emit_u`` as in `pcmsd_hat_3d` — the step-boundary merge's
+    building blocks for a per-shard (ut, qhat) hat carry."""
     D, lx, ny, nz = ut_loc.shape
     assert D == 3 and ny == nz
     with_smag = smag is not None
@@ -2800,6 +2817,11 @@ def pcmsd_hat_halo_3d(
     coeffs = tuple(coeffs)
     m = len(streams) - 1
     assert len(coeffs) == m + 1 and len(streams_lo) == m + 1
+    base_is_recon = streams[0] is RECON
+    if base_is_recon:
+        assert m == 0, "RECON base allows no k streams"
+        streams = streams[1:]
+        streams_lo = streams_lo[1:]
     for st in streams:
         assert st.shape == (3, lx, ny, nz), (st.shape, lx)
     with_bf = bodyforce is not None
@@ -2819,7 +2841,7 @@ def pcmsd_hat_halo_3d(
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
     if bx is None:
-        bx = _pick_bx(lx, _pcmsd_planes(n_dma, with_smag), ny * nz)
+        bx = _pick_bx(lx, _pcmsd_planes(n_dma, with_smag, emit_u), ny * nz)
     while lx % bx != 0:
         bx //= 2
     # the partial windows' branched top DMAs need bx >= ng_hi + 1
@@ -2840,6 +2862,8 @@ def pcmsd_hat_halo_3d(
         with_bf=with_bf,
         with_accbase=with_accbase,
         smag_d2=(float(smag[1]) if with_smag else None),
+        base_is_recon=base_is_recon,
+        emit_u=emit_u,
     )
     all_coeffs = (
         list(coeffs)
@@ -2860,11 +2884,13 @@ def pcmsd_hat_halo_3d(
         ([vec_spec] if emit_k else [])
         + [vec_spec, sca_spec]
         + ([vec_spec] if with_usnew else [])
+        + ([vec_spec] if emit_u else [])
     )
     out_shape = (
         ([vec_shape] if emit_k else [])
         + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), ut_loc.dtype)]
         + ([vec_shape] if with_usnew else [])
+        + ([vec_shape] if emit_u else [])
     )
     return pl.pallas_call(
         kernel,
@@ -2879,8 +2905,8 @@ def pcmsd_hat_halo_3d(
             pltpu.VMEM((2, 3, bx + ng, ny, nz), ut_loc.dtype),
             pltpu.VMEM((2, bx + ng + 1, ny, nz), ut_loc.dtype),
             pltpu.VMEM((ny, nz), ut_loc.dtype),
-            pltpu.VMEM((2, n_dma, 3, bx + 1, ny, nz), ut_loc.dtype),
-            pltpu.SemaphoreType.DMA((2, 6 + 2 * n_dma)),
+            pltpu.VMEM((2, max(n_dma, 1), 3, bx + 1, ny, nz), ut_loc.dtype),
+            pltpu.SemaphoreType.DMA((2, 6 + 2 * max(n_dma, 1))),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024

@@ -26,6 +26,13 @@ def test_applicability():
     ps = psolver_spectral(setup)
     assert fastpath_applicable(setup, ins.RKMethods.RK44(), ps)
     assert fastpath_applicable(setup, ins.LMWray3(), ps)
+    # hat carry (step-boundary merge) needs the fused merged chain,
+    # which is TPU-only: on CPU the factory must decline gracefully
+    # (solve_unsteady then scans the plain per-step fast path).
+    from ins_tpu.ops.fastpath import make_fast_timestep_hat
+
+    if jax.default_backend() != "tpu":
+        assert make_fast_timestep_hat(setup, ins.RKMethods.RK44()) is None
     # CG solver: not spectral -> no fast path
     assert not fastpath_applicable(setup, ins.RKMethods.RK44(), psolver_cg(setup))
     # stretched grid -> no fast path

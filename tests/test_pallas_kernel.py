@@ -630,3 +630,40 @@ def test_pcmsd_recon_base_and_emit_u():
     assert float(
         jnp.max(jnp.abs(usn3 - (u_ref + 0.4 * (k_ref + bf))))
     ) < 1e-3
+
+
+def test_pcmsd_halo_recon_base_matches_single_chip():
+    """The halo twin's RECON base + emit_u (the per-shard step-boundary
+    merge building block): a single 'shard' covering the whole periodic
+    domain, with wrap ghosts, must reproduce `pcmsd_hat_3d(RECON)`."""
+    from ins_tpu.ops.pallas_kernels import (
+        RECON,
+        pcmsd_hat_3d,
+        pcmsd_hat_halo_3d,
+    )
+    from ins_tpu.ops.poisson_pallas import make_fused_projection
+
+    n = 16
+    dx = (2 * np.pi / n,) * 3
+    visc = 1e-3
+    rng = np.random.default_rng(29)
+    ut_prev = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    qhat = 0.1 * jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    cn = 0.21
+
+    proj = make_fused_projection((n,) * 3, dx, jnp.float32, interpret=True)
+    ut_ref, dh_ref, usn_ref, u_ref = pcmsd_hat_3d(
+        ut_prev, qhat, (RECON,), (cn,), visc, dx, proj,
+        interpret=True, emit_k=False, usnew_coeff=0.4, emit_u=True,
+    )
+    ng_lo, ng_hi = 2, 1
+    ut_h, dh_h, usn_h, u_h = pcmsd_hat_halo_3d(
+        ut_prev, ut_prev[:, -ng_lo:], ut_prev[:, :ng_hi],
+        qhat, qhat[-ng_lo:], qhat[: ng_hi + 1],
+        (RECON,), (RECON,), (cn,), visc, dx, proj,
+        interpret=True, emit_k=False, usnew_coeff=0.4, emit_u=True,
+    )
+    assert float(jnp.max(jnp.abs(u_h - u_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(ut_h - ut_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(dh_h - dh_ref))) < 1e-4
+    assert float(jnp.max(jnp.abs(usn_h - usn_ref))) < 1e-5

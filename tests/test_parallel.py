@@ -127,6 +127,11 @@ def test_dp_closure_training_step():
         activations=[lambda x: x],
         use_bias=[False],
         rng=jax.random.PRNGKey(0),
+        # f32 convs: the default bf16 tap-folded copies are only
+        # reduction-order-reproducible to ~bf16 eps, which this
+        # replicated-vs-DP gradient parity check (rtol 2e-5) is not
+        # about
+        compute_dtype=jnp.float32,
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (8, n, n, 2), jnp.float32)
     y = jax.random.normal(jax.random.PRNGKey(2), (8, n, n, 2), jnp.float32)
