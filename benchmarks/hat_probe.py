@@ -72,7 +72,10 @@ for mname, method in [("RK44", ins.RKMethods.RK44()),
     jax.block_until_ready(s_p.u); jax.block_until_ready(s_h.u)
     rel = float(jnp.max(jnp.abs(s_p.u - s_h.u)) / jnp.max(jnp.abs(s_p.u)))
     print(f"{mname}: parity rel diff over 5 steps = {rel:.3e}")
-    assert np.isfinite(rel)
+    # The hat chain is the SAME arithmetic reordered across kernel
+    # boundaries; measured 0.0 on hardware.  Enforce a tight bound so
+    # the probe actually fails if the chains ever diverge.
+    assert np.isfinite(rel) and rel <= 1e-6, f"hat-carry parity broken: {rel}"
 
     # timing
     for name, fn in [("plain", scan_plain), ("hat", scan_hat)]:

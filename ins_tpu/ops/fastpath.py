@@ -546,12 +546,20 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                 bcoef = A[ns - 1][i]
                 unc = dt * bcoef if (bcoef != 0.0 and not last) else None
                 if i == 0:
-                    _, ut, qhat, usnew, ustart = merged_stage_hat(
+                    # the emitted reconstruction is only read back as
+                    # ustart by stages i >= 1 — a 1-stage tableau skips
+                    # the (full-velocity) HBM write entirely
+                    res = merged_stage_hat(
                         ut, qhat, (RECON,), (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, smag=smag_arg(theta),
-                        emit_u=True,
+                        emit_u=ns > 1,
                     )
+                    if ns > 1:
+                        _, ut, qhat, usnew, ustart = res
+                    else:
+                        _, ut, qhat, usnew = res
+                        ustart = None
                     acc = usnew if unc is not None else ustart
                 else:
                     ub = None if (unc is None or acc is ustart) else acc

@@ -2329,8 +2329,11 @@ def _pcmsd_planes(n_dma, with_smag, emit_u=False):
     extra = 20 * (ng + 2) if with_smag else 0
 
     def planes(b):
+        # the kernel allocates the stream scratch as
+        # VMEM((2, max(n_dma, 1), 3, b+1, ...)) — a dummy buffer exists
+        # even when n_dma == 0, so the estimate must match.
         return (
-            12 * (b + ng) + 2 * (b + ng + 1) + 6 * n_dma * (b + 1)
+            12 * (b + ng) + 2 * (b + ng + 1) + 6 * max(n_dma, 1) * (b + 1)
             + 2 * nout * b + extra
         )
 
@@ -2820,6 +2823,10 @@ def pcmsd_hat_halo_3d(
     base_is_recon = streams[0] is RECON
     if base_is_recon:
         assert m == 0, "RECON base allows no k streams"
+        # the documented contract: a RECON base has no lower-plane data
+        # either — catch a caller passing a real array that would be
+        # silently discarded
+        assert streams_lo[0] is RECON, "streams_lo[0] must be RECON too"
         streams = streams[1:]
         streams_lo = streams_lo[1:]
     for st in streams:
