@@ -185,6 +185,39 @@ def test_sciml_rhs(solved):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_sciml_rhs_temperature():
+    """RHS bridge with a Boussinesq state returns (du, dtemp); buoyancy
+    enters du and both are differentiable (closes the reference's
+    momentum-only sciml.jl:13-31 gap)."""
+    from conftest import make_setup_2d
+
+    setup = make_setup_2d(n=12)
+    psolver = ins.psolver_direct(setup)
+    f = ins.create_right_hand_side(setup, psolver)
+    g = setup.grid
+    u0 = jnp.zeros((2, *g.N), setup.dtype)
+    temp0 = ins.temperaturefield(
+        setup, lambda x, y: jnp.sin(jnp.pi * x) * jnp.cos(jnp.pi * y)
+    )
+    du, dtemp = f(u0, 0.0, temp=temp0)
+    assert du.shape == u0.shape and dtemp.shape == temp0.shape
+    assert np.all(np.isfinite(np.asarray(du)))
+    assert np.all(np.isfinite(np.asarray(dtemp)))
+    # buoyancy: a nonuniform temperature must change the momentum RHS
+    du0 = f(u0, 0.0)
+    assert float(jnp.max(jnp.abs(du - du0))) > 1e-12
+    # nontrivial temperature dynamics
+    assert float(jnp.max(jnp.abs(dtemp))) > 1e-12
+    # differentiable through both outputs wrt both state entries
+    def loss(u, temp):
+        a, b = f(u, 0.0, temp=temp)
+        return jnp.sum(a**2) + jnp.sum(b**2)
+
+    gu, gt = jax.grad(loss, argnums=(0, 1))(u0, temp0)
+    assert np.all(np.isfinite(np.asarray(gu)))
+    assert np.all(np.isfinite(np.asarray(gt)))
+
+
 def test_plotgrid_3d_and_contour3d(tmp_path):
     """3D plotgrid wireframe + 3D contour fieldplot (reference Makie ext
     :31-72 and :204 parity)."""
