@@ -106,6 +106,193 @@ def run_case(N, nwarm, nstep, method=None, les=False):
     return cups, elapsed / nstep * 1e3
 
 
+def run_temp_case(N, nwarm, nstep):
+    """Boussinesq-coupled step time (periodic temperature riding the
+    fast path) — VERDICT-r3 item 5 asks this next to the no-temp step.
+    Reference treats the temperature RHS as first-class in the hot loop
+    (src/time_steppers/step_explicit_runge_kutta.jl:20-28)."""
+    dtype = jnp.float32
+    x = tuple(np.linspace(0.0, 1.0, N + 1) for _ in range(3))
+    pbc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    temperature = ins.temperature_equation(
+        Pr=0.71, Ra=1e7, Ge=1.0, dodissipation=True,
+        boundary_conditions=pbc, gdir=2, dtype=dtype,
+    )
+    setup = ins.Setup(
+        x=x, boundary_conditions=pbc, temperature=temperature, dtype=dtype
+    )
+    psolver = ins.psolver_spectral(setup)
+    u0 = jax.jit(lambda key: ins.random_field(setup, kp=10, rng=key))(
+        jax.random.PRNGKey(1)
+    )
+    temp0 = ins.temperaturefield(
+        setup, lambda xx, yy, zz: 0.5 + 0.1 * jnp.sin(2 * np.pi * xx)
+    )
+    dt = jnp.asarray(2e-4 * 128 / N, dtype)
+    method = ins.RKMethods.RK44()
+
+    from ins_tpu.ops.fastpath import (
+        fastpath_applicable,
+        make_fast_timestep,
+        make_fast_timestep_hat,
+        strip_state,
+    )
+
+    assert fastpath_applicable(setup, method, psolver)
+    fast_step = make_fast_timestep(setup, method)
+    hat_fns = make_fast_timestep_hat(setup, method)
+
+    @partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+    def scan_steps(state, nsteps):
+        if hat_fns is not None:
+            to_hat, step_hat, from_hat = hat_fns
+            h = to_hat(state)
+
+            def hbody(hi, _):
+                return step_hat(hi, dt, None), None
+
+            h, _ = jax.lax.scan(hbody, h, None, length=nsteps)
+            return from_hat(h)
+
+        def body(s, _):
+            return fast_step(s, dt, None), None
+
+        state, _ = jax.lax.scan(body, state, None, length=nsteps)
+        return state
+
+    state = create_stepper(
+        method, setup=setup, psolver=psolver, u=u0, temp=temp0
+    )
+    state = jax.jit(strip_state)(state)
+    state = scan_steps(state, nstep)
+    jax.block_until_ready(state.u)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = scan_steps(state, nstep)
+        jax.block_until_ready(state.u)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    assert bool(jnp.all(jnp.isfinite(state.temp)))
+    return N**3 * nstep / elapsed, elapsed / nstep * 1e3
+
+
+def run_solver_case(make, nstep, dt=1e-3):
+    """ms/step through `solve_unsteady` for non-periodic configs (wall
+    BCs, CG pressure) — the driver path a reference user hits for the
+    turbulent channel (examples/TurbulentChannel.jl) and cavity."""
+    setup, psolver, u0, temp0 = make()
+    kw = dict(
+        setup=setup, psolver=psolver, dt=dt, processors={},
+        tempstart=temp0,
+    )
+    # warm: compiles the scan chunks for this nsteps
+    state, _ = ins.solve_unsteady(
+        ustart=u0, tlims=(0.0, nstep * dt), **kw
+    )
+    jax.block_until_ready(state.u)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, _ = ins.solve_unsteady(
+            ustart=u0, tlims=(0.0, nstep * dt), **kw
+        )
+        jax.block_until_ready(state.u)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+    N = int(np.prod(setup.grid.Np))
+    return N * nstep / elapsed, elapsed / nstep * 1e3
+
+
+def make_channel(nx=256, ny=128, nz=128):
+    """Wall-bounded turbulent channel (reference
+    examples/TurbulentChannel.jl): x/y periodic, no-slip z walls,
+    steady streamwise body force, stretched wall-normal grid."""
+    x = (
+        np.linspace(0.0, 4 * np.pi, nx + 1),
+        np.linspace(0.0, 2 * np.pi, ny + 1),
+        ins.tanh_grid(0.0, 2.0, nz, 1.2),
+    )
+    d = ins.DirichletBC()
+    bc = (
+        (ins.PeriodicBC(), ins.PeriodicBC()),
+        (ins.PeriodicBC(), ins.PeriodicBC()),
+        (d, d),
+    )
+    setup = ins.Setup(
+        x=x, boundary_conditions=bc, Re=1e3,
+        bodyforce=lambda dim, xx, yy, zz, t: (
+            jnp.where(dim == 0, 1.0, 0.0) + 0.0 * xx
+        ),
+        issteadybodyforce=True, dtype=jnp.float32,
+    )
+    psolver = ins.default_psolver(setup)
+    u0 = ins.velocityfield(
+        setup,
+        lambda dim, xx, yy, zz: jnp.where(
+            dim == 0, 6.0 * zz * (2.0 - zz) / 4.0, 0.0
+        ) + 0.02 * jnp.sin(2 * xx) * jnp.sin(2 * yy) * jnp.sin(np.pi * zz),
+        psolver=psolver,
+    )
+    return setup, psolver, u0, None
+
+
+def make_cavity_cg(n=128):
+    """Lid-driven cavity, uniform cube, matrix-free CG pressure solve
+    (VERDICT-r3 item 7; reference src/pressure.jl:251-280)."""
+    x = tuple(np.linspace(0.0, 1.0, n + 1) for _ in range(3))
+    d = ins.DirichletBC()
+    lid = (1.0, 0.0, 0.0)
+    bc = ((d, d), (d, d), (d, ins.DirichletBC(lid)))
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32)
+    psolver = ins.psolver_cg(setup, maxiter=50, reltol=1e-4)
+    u0 = ins.velocityfield(
+        setup, lambda dim, xx, yy, zz: 0.0 * xx, psolver=psolver
+    )
+    return setup, psolver, u0, None
+
+
+def run_gradstep_case(n=64, nunroll=5):
+    """A-posteriori closure-training gradient step (north-star
+    BASELINE.json configs[4]; reference
+    lib/NeuralClosure/src/training.jl:116-141): grad of an nunroll
+    rollout loss wrt CNN closure params, s/step."""
+    import ins_tpu.models as nc
+    from ins_tpu.time_steppers.rk_methods import RK44
+
+    dtype = jnp.float32
+    x = tuple(np.linspace(0.0, 1.0, n + 1) for _ in range(3))
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=2e3, dtype=dtype)
+    psolver = ins.psolver_spectral(setup)
+    closure, theta = nc.cnn(
+        setup=setup, radii=[2, 2, 2], channels=[24, 24, 3],
+        activations=[jax.nn.tanh, jax.nn.tanh, lambda v: v],
+        use_bias=[True, True, False], rng=jax.random.PRNGKey(0),
+    )
+    m = nc.wrappedclosure(closure, setup)
+    loss = nc.create_loss_post(
+        setup=setup, method=RK44(), psolver=psolver, closure_model=m,
+        nupdate=nunroll,
+    )
+    u0 = jax.jit(lambda key: ins.random_field(setup, kp=5, rng=key))(
+        jax.random.PRNGKey(3)
+    )
+    traj = jnp.stack([u0] * (nunroll + 1))
+    g = jax.jit(jax.grad(lambda th: loss(th, traj, jnp.asarray(5e-4))))
+    gv = g(theta)
+    jax.block_until_ready(gv)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gv = g(theta)
+        jax.block_until_ready(gv)
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    gn = float(jnp.sqrt(sum(jnp.sum(v**2) for v in jax.tree.leaves(gv))))
+    assert np.isfinite(gn)
+    return elapsed
+
+
 def main():
     t_start = time.perf_counter()
     # Headline configs first so the JSON line is always backed by them.

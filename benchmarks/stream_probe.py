@@ -65,6 +65,9 @@ def make_pallas_bs(shape, bx):
                                    lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024
+            ),
         )(x)
 
     return run
@@ -107,6 +110,9 @@ def make_pallas_dma(shape, bx):
                 pltpu.VMEM((2, c, bx, *shape[2:]), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024
+            ),
         )(x)
 
     return run

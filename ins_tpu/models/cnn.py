@@ -110,17 +110,23 @@ def _fold_conv(h, w, r, pad_axes, compute_dtype):
 
 
 def _actname(act):
-    """Map an activation callable to a Pallas-fusable name, or None."""
+    """Map an activation callable to a Pallas-fusable name, or None.
+
+    The concrete probe must escape any ambient trace
+    (``ensure_compile_time_eval``): CNN.__call__ runs under jit/grad in
+    production, and a probe that raises there would silently disable
+    the Pallas path exactly where it matters."""
     if act in (jnp.tanh, jax.numpy.tanh):
         return "tanh"
-    try:  # identity probe on a concrete array (pure fn, trace-safe)
+    try:  # identity probe on a concrete array
         import numpy as np
 
         probe = np.asarray([[0.625, -1.5]], np.float32)
-        if np.array_equal(np.asarray(act(jnp.asarray(probe))), probe):
+        with jax.ensure_compile_time_eval():
+            out = np.asarray(act(jnp.asarray(probe)))
+        if np.array_equal(out, probe):
             return "id"
-        if np.allclose(np.asarray(act(jnp.asarray(probe))),
-                       np.tanh(probe)):
+        if np.allclose(out, np.tanh(probe)):
             return "tanh"
     except Exception:
         pass
@@ -128,17 +134,15 @@ def _actname(act):
 
 
 def _pallas_conv_ok(spatial, r, cin, cout, dtype):
-    """Gate for the Pallas tap-matmul/pack-tile conv path (3D only):
-    z-folded channels and nz must be lane-tile multiples, and the slab
-    ring must fit VMEM (ops/convkernels.py alignment contract)."""
-    if len(spatial) != 3 or r < 1 or cout > 128:
+    """Gate for the fused-fold Pallas conv path (3D only): sublane-tile
+    z extent, packable taps, and a VMEM-feasible y strip both ways
+    (ops/convkernels.py `fused_supported`)."""
+    if len(spatial) != 3 or r < 1:
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     ny, nz = spatial[1], spatial[2]
-    if nz % 128 != 0 or dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    k = 2 * r + 1
-    kc = ck.lanes(k * cin)
-    return ck.tapconv_supported(ny + k - 1, nz, kc, cout, kx=k)
+    return ck.fused_supported(ny, nz, cin, cout, 2 * r + 1)
 
 
 def _zfold(h, r):
@@ -172,8 +176,9 @@ def _fold_w(w, dtype):
 
 def _pallas_conv_layer(h, w, b, r, pad_x, actname, compute_dtype,
                        interpret):
-    """One closure conv layer on the Pallas path: XLA z-fold + x/y wrap
-    pads, then the pack-tile/tap-matmul kernel with fused bias + act.
+    """One closure conv layer on the tap-matmul Pallas path (probe use;
+    production rides `_fused_stack`): XLA z-fold + x/y wrap pads, then
+    the pack-tile/tap-matmul kernel with fused bias + act.
     `h`: per-sample (nx, ny, nz, cin); returns (nx, ny, nz, cout)."""
     cout = w.shape[-1]
     g = _zfold(h.astype(compute_dtype), r)
@@ -197,13 +202,15 @@ class CNN(nn.Module):
     # conv compute dtype; None = bf16 when dtype is f32 (TPU convs
     # multiply in bf16 at DEFAULT precision anyway — docstring note 2)
     compute_dtype: object = None
-    # Pallas conv kernels (ops/convkernels.py): False (default) = XLA
-    # fold path, True = force (interpret mode off-TPU — virtual-device
-    # testing).  Measured on v5e at 128^3: the tap-matmul/pack-tile
-    # kernels alone beat XLA (8.7 vs 13 ms for the 24->24 layer) but the
-    # XLA-side z-fold glue (15.6 ms/layer) eats the win — the default
-    # flips to auto once the fused-fold kernel lands.
-    pallas: object = False
+    # Pallas conv kernels (ops/convkernels.py): "auto" (default) = the
+    # fused-fold kernels whenever the backend is TPU and the shapes
+    # qualify (`fused_supported`), False = XLA fold path, True = force
+    # (interpret mode off-TPU — virtual-device testing).  History: the
+    # earlier tap-matmul/pack-tile kernels beat XLA per-layer (8.7 vs
+    # 13 ms for 24->24 at 128^3) but their XLA-side z-fold glue
+    # (15.6 ms/layer) ate the win; the fused-fold kernel folds in VMEM
+    # and wrap-pads in the DMA, so nothing remains outside the kernel.
+    pallas: object = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -236,7 +243,9 @@ class CNN(nn.Module):
         # code paths from interleaving layout conversions).
         spatial = x.shape[1:-1]
         actnames = [_actname(a) for a in self.activations]
-        if not self.pallas:
+        want_pl = (jax.default_backend() == "tpu"
+                   if self.pallas == "auto" else bool(self.pallas))
+        if not want_pl:
             use_pl = False
         else:
             cins = (D,) + tuple(self.channels[:-1])
@@ -248,20 +257,30 @@ class CNN(nn.Module):
             )
         interpret = bool(use_pl) and jax.default_backend() != "tpu"
 
-        def stack1(h, pad_x):
-            # per-sample Pallas stack: (nx, ny, nz, c) -> (nx', ny, nz, D)
+        def stack1(h):
+            # per-sample fused-fold stack: (nx, ny, nz, c) -> 128-lane
+            # carry between layers (lanes >= cout garbage by kernel
+            # contract; each layer reads only its cin lanes)
+            in_dt = h.dtype
+            hp = jnp.pad(h.astype(cdt),
+                         ((0, 0),) * 3 + ((0, 128 - h.shape[-1]),))
             for i, r in enumerate(self.radii):
-                h = _pallas_conv_layer(
-                    h, ws[i], bs[i], r, pad_x, actnames[i], cdt,
-                    interpret,
+                layer = ck.make_fused_layer(
+                    actnames[i], bs[i] is not None,
+                    cin=(D if i == 0 else self.channels[i - 1]),
+                    cout=self.channels[i], k=2 * r + 1,
+                    interpret=interpret,
                 )
-            return h
+                bias = (jnp.zeros((self.channels[i],), self.dtype)
+                        if bs[i] is None else bs[i])
+                hp = layer(hp, ws[i], bias)
+            return hp[..., : self.channels[-1]].astype(in_dt)
 
         def stack(h, pad_x):
             if use_pl:
                 if h.shape[0] == 1:
-                    return stack1(h[0], pad_x)[None]
-                return jax.lax.map(lambda hh: stack1(hh, pad_x), h)
+                    return stack1(h[0])[None]
+                return jax.lax.map(stack1, h)
             for i, r in enumerate(self.radii):
                 pad_axes = (pad_x,) + (True,) * (D - 1)
                 h = _fold_conv(h, ws[i], r, pad_axes, cdt)
@@ -273,7 +292,11 @@ class CNN(nn.Module):
         R = sum(self.radii)
         nx = x.shape[1]
         cx = self.chunk_x
-        if D == 3 and nx >= self.chunk_min_nx and nx % cx == 0:
+        # The fused Pallas path never chunks: the kernels stream planes
+        # (VMEM bounded by the y strip) and its intermediates are one
+        # bf16 128-lane field per layer — the receptive-field fold
+        # copies that forced chunking on the XLA path don't exist.
+        if D == 3 and not use_pl and nx >= self.chunk_min_nx and nx % cx == 0:
             # x-chunked evaluation (see module docstring)
             xp = jnp.pad(
                 x, [(0, 0), (R, R)] + [(0, 0)] * D, mode="wrap"
@@ -294,12 +317,13 @@ class CNN(nn.Module):
 
 
 def cnn(*, setup, radii, channels, activations, use_bias, rng,
-        compute_dtype=None):
+        compute_dtype=None, pallas="auto"):
     """Build `(closure, theta)` (reference cnn.jl:5-48).
     ``compute_dtype``: conv multiply dtype — None (default) uses bf16
     for f32 models (TPU convs multiply in bf16 at DEFAULT precision
     anyway); pass ``jnp.float32`` for bitwise-deterministic f32 convs
-    (e.g. cross-device gradient parity checks)."""
+    (e.g. cross-device gradient parity checks).  ``pallas``: see
+    `CNN.pallas` — "auto" rides the fused-fold kernels on TPU."""
     g = setup.grid
     D = g.dim
     n = tuple(e - s for (s, e) in g.Iu[0])
@@ -310,6 +334,7 @@ def cnn(*, setup, radii, channels, activations, use_bias, rng,
         use_bias=tuple(use_bias),
         dtype=setup.dtype,
         compute_dtype=compute_dtype,
+        pallas=pallas,
     )
     return create_closure(
         model, rng=rng, sample_shape=(*n, D), dtype=setup.dtype

@@ -544,3 +544,452 @@ def packconv_3d(g, w2, bias=None, act=None, *, out_dtype=None, nys=None,
         ),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Fused-fold conv: the production formulation.
+#
+# The tap-matmul and pack-tile kernels above require the z-taps folded
+# into channels by an XLA-side concat — measured 15.6 ms/layer at 128^3
+# (5x re-read of the input at lane-misaligned 24-channel strides), more
+# than the conv kernels themselves.  The fused kernel removes ALL host-
+# graph glue: the input is the plain lane-padded field (nx, ny, nz, cp),
+# periodic pads ride the DMA (modular plane/row offsets), and the z-fold
+# happens in VMEM (kz static sub-lane copies per plane).
+#
+# Weight packing (the MXU trick): tiles are indexed by dy, each packing
+# (dx, cout) into the 128-lane output dim:
+#
+#     Ws[(dz, c), dy, dx*cout + o] = w[dx, dy, dz, c, o]
+#
+# Per input plane p, ONE row-sliced dot per dy accumulates
+#
+#     H_p = sum_dy win_p[dy : dy + nys] @ Ws[:, dy]          (f32)
+#
+# whose lane block dx is plane p's total contribution to output plane
+# p - dx + rx.  The combine is then kx lane-rolls + adds from the H ring
+# (no masks, no collapse matmul):
+#
+#     out_i[:, 0:cout] = sum_dx roll(H_{i+dx-rx}, -dx*cout)[:, 0:cout]
+#
+# Raw MXU work is ky row-sliced (m, kc)@(kc, 128) dots per plane —
+# kc*128/(k^2*cin*cout) = 1.14x the useful FLOPs for the closure's
+# 24-channel layers (vs 5.7x for tap-matmul, ~9x for XLA's conv).
+#
+# The structure is self-adjoint: dL/dh is the SAME kernel on the masked
+# cotangent with flipped/transposed taps (kx*cin <= 128 packs too), and
+# dL/dWs accumulates the SAME ky dots per plane against dH_p (built by
+# kx lane-rolls of the cotangent ring) — fwd, dh and dW all run within
+# 1.14x of the useful FLOPs.
+#
+# Contract: output lanes >= cout are GARBAGE (callers slice); input
+# lanes >= cin are ignored.  nz % 16 == 0 (sublane tile), kx*cout <= 128,
+# lanes(kz*cin) <= 1024.  x, y, z are all periodic (wrap) — the chunked
+# x-halo path stays on the XLA fold.
+# ---------------------------------------------------------------------------
+
+
+def fused_supported(ny, nz, cin, cout, k, budget=96 * 1024 * 1024):
+    """Shape/VMEM gate for fusedconv_3d (and its backward twins, which
+    swap cin/cout — checked both ways)."""
+    if nz % 16 != 0 or nz < k or ny < k:
+        return False
+    for ci, co in ((cin, cout), (cout, cin)):
+        if k * co > 128 or lanes(k * ci) > 1024:
+            return False
+        if _pick_nys(ny, nz, lanes(k * ci), k, budget=budget) is None:
+            return False
+    return True
+
+
+def _pick_nys(ny, nz, kc, k, *, itemsize=2, budget=96 * 1024 * 1024):
+    """Largest divisor of ny <= 32 whose strip fits the VMEM budget.
+
+    The cap is measured, not a footprint bound: at 128^3 / C=24 the
+    kernel runs 9.1 ms at nys=32 vs 15.0 at nys=64 (worse VMEM
+    locality), and Mosaic compile time grows superlinearly in the strip
+    height (12 s -> 93 s per layer going 32 -> 64 — the 5-stage unroll
+    in `compute_H`'s windows scales with nys).  nys=32 already gives
+    the dy-dots 4096 rows at nz=128, far past MXU amortization."""
+    def fits(nys):
+        gbuf = 2 * (nys + k - 1) * (nz + 2 * _ZP) * 128 * itemsize
+        win = (nys + k - 1) * nz * kc * itemsize
+        hring = k * nys * nz * 128 * 4
+        out = 2 * nys * nz * 128 * 4
+        dpre = k * nys * nz * 128 * itemsize  # wgrad ct ring
+        return gbuf + win + hring + out + dpre <= budget
+
+    for nys in range(min(ny, 32), 0, -1):
+        if ny % nys == 0 and fits(nys):
+            return nys
+    return None
+
+
+def _fused_dma_plans(h_hbm, gbuf, sems, *, s, nys, ny, nz, ry, rz, nsrc):
+    """DMA plan factory: plane j -> z/y-wrap-padded gbuf slot.
+
+    y rows [s*nys - ry, s*nys + nys + ry) and z rows [-rz, nz + rz) are
+    decomposed into static-size parts with modular (traced) offsets, so
+    one plan covers interior and wrap strips alike (no part ever
+    straddles: the main block is strip-aligned and the halo parts are
+    ry < nys rows).  z is the sublane-tiled dim, so its halo is padded
+    to ZP = 8 rows (DMA offsets/sizes must be 8-row aligned; the fold
+    reads at the true rz offset inside the over-fetched halo)."""
+    yparts = [(nys, s * nys, ry)]
+    if ry > 0:
+        yparts += [(ry, (s * nys - ry) % ny, 0),
+                   (ry, (s * nys + nys) % ny, nys + ry)]
+    zp = _ZP if rz > 0 else 0
+    zparts = [(nz, 0, zp)]
+    if rz > 0:
+        zparts += [(zp, nz - zp, 0), (zp, 0, nz + zp)]
+
+    def plans(j, slot):
+        src = j % nsrc
+        cps = []
+        q = 0
+        for ylen, ysrc, ydst in yparts:
+            if ylen == 0:
+                continue
+            for zlen, zsrc, zdst in zparts:
+                cps.append(pltpu.make_async_copy(
+                    h_hbm.at[pl.ds(src, 1), pl.ds(ysrc, ylen),
+                             pl.ds(zsrc, zlen)],
+                    gbuf.at[pl.ds(slot, 1), pl.ds(ydst, ylen),
+                            pl.ds(zdst, zlen)],
+                    sems.at[slot, q],
+                ))
+                q += 1
+        return cps
+
+    return plans
+
+
+_ZP = 8  # z-halo DMA padding (sublane tile)
+
+
+def _fold_win(gbuf, slot, win, *, kz, cin, nz):
+    """VMEM z-fold: win[:, :, dz*cin + c] = gbuf[slot][:, zoff+dz+z, c].
+    Tail lanes (>= kz*cin) are zeroed — the dots contract all kc lanes
+    against zero weight rows, and uninitialized VMEM may hold NaNs."""
+    rz = kz // 2
+    zoff = (_ZP - rz) if rz > 0 else 0
+    if kz * cin < win.shape[-1]:
+        win[:, :, kz * cin :] = jnp.zeros(
+            (*win.shape[:2], win.shape[-1] - kz * cin), win.dtype
+        )
+    for dz in range(kz):
+        win[:, :, dz * cin : (dz + 1) * cin] = gbuf[
+            slot, :, zoff + dz : zoff + dz + nz, :cin
+        ]
+
+
+def _fusedconv_kernel(h_hbm, w_ref, b_ref, out_ref, gbuf, win, hring,
+                      sems, *, kx, ky, kz, cin, cout, nx, nys, ny, nz,
+                      act, has_bias):
+    i = pl.program_id(1)  # output x plane (inner)
+    s = pl.program_id(0)  # y strip
+    rx, ry, rz = kx // 2, ky // 2, kz // 2
+    m_out = nys * nz
+    kc = win.shape[-1]
+
+    plans = _fused_dma_plans(
+        h_hbm, gbuf, sems, s=s, nys=nys, ny=ny, nz=nz, ry=ry, rz=rz,
+        nsrc=nx,
+    )
+
+    def compute_H(j, slot):
+        _fold_win(gbuf, slot, win, kz=kz, cin=cin, nz=nz)
+        acc = jnp.zeros((m_out, 128), jnp.float32)
+        for dy in range(ky):
+            lhs = win[dy : dy + nys].reshape(m_out, kc)
+            acc = acc + jnp.dot(
+                lhs, w_ref[:, dy],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        hring[j % kx] = acc
+
+    # pipeline: j indexes H planes (source plane (i + dx - rx) % nx at
+    # j = i + dx); at i == 0 fill H_0..H_{kx-1}, then one new plane per i
+    @pl.when(i == 0)
+    def _():
+        plan0 = plans(0 - rx, 0)
+        for cp in plan0:
+            cp.start()
+        for j in range(kx):
+            if j + 1 < nx + kx - 1:
+                for cp in plans(j + 1 - rx, (j + 1) % 2):
+                    cp.start()
+            for cp in plans(j - rx, j % 2):
+                cp.wait()
+            compute_H(j, j % 2)
+
+    @pl.when((i > 0) & (i + 1 < nx))
+    def _():
+        for cp in plans(i + kx - rx, (i + kx) % 2):
+            cp.start()
+
+    @pl.when(i > 0)
+    def _():
+        j = i + kx - 1
+        for cp in plans(j - rx, j % 2):
+            cp.wait()
+        compute_H(j, j % 2)
+
+    # combine: out_i = sum_dx roll_left(H_{i+dx}, dx*cout)
+    acc = hring[i % kx][...]
+    for dx in range(1, kx):
+        v = hring[(i + dx) % kx][...]
+        acc = acc + pltpu.roll(v, 128 - dx * cout, axis=1)
+    if has_bias:
+        acc = acc + b_ref[0].astype(jnp.float32)
+    if act is not None:
+        acc = act(acc)
+    out_ref[0] = acc.reshape(nys, nz, 128).astype(out_ref.dtype)
+
+
+def pack_ws(w, dtype):
+    """Canonical (kx, ky, kz, cin, cout) weights -> the fused kernel's
+    (lanes(kz*cin), ky, 128) tile layout (see module comment)."""
+    kx, ky, kz, cin, cout = w.shape
+    kc = lanes(kz * cin)
+    ws = jnp.zeros((kc, ky, 128), dtype)
+    # rows (dz, c) packed; lanes (dx, o) packed
+    wt = w.transpose(1, 2, 3, 0, 4).reshape(ky, kz * cin, kx * cout)
+    ws = ws.at[: kz * cin, :, : kx * cout].set(
+        wt.transpose(1, 0, 2).astype(dtype)
+    )
+    return ws
+
+
+def pack_ws_back(w, dtype):
+    """Flipped/transposed packing for the input-gradient pass: the
+    cotangent (channels o) convolves with w[kx-1-dx', ky-1-dy',
+    kz-1-dz', c, o] producing channels c."""
+    wb = jnp.flip(jnp.flip(jnp.flip(w, 0), 1), 2).transpose(0, 1, 2, 4, 3)
+    return pack_ws(wb, dtype)
+
+
+def unpack_dws(dws, kx, ky, kz, cin, cout):
+    """(kc, ky, 128) weight-gradient -> canonical (kx, ky, kz, cin, cout)."""
+    dt = dws[: kz * cin, :, : kx * cout].reshape(kz, cin, ky, kx, cout)
+    return dt.transpose(3, 2, 0, 1, 4)
+
+
+def fusedconv_3d(h, ws, bias=None, act=None, *, cin, cout, k,
+                 out_dtype=None, nys=None, interpret=False):
+    """Fused-fold periodic conv layer (see module comment).
+
+    h: (nx, ny, nz, cp) with cp >= cin (lanes beyond cin ignored);
+    ws: (lanes(k*cin), k, 128) from `pack_ws`.  Returns
+    (nx, ny, nz, 128) with lanes >= cout garbage."""
+    nx, ny, nz, cp = h.shape
+    kc = lanes(k * cin)
+    assert ws.shape == (kc, k, 128), (ws.shape, kc, k)
+    assert k * cout <= 128 and nz % 16 == 0 and cp % 128 == 0
+    out_dtype = out_dtype or h.dtype
+    if nys is None:
+        nys = _pick_nys(ny, nz, kc, k,
+                        itemsize=jnp.dtype(h.dtype).itemsize)
+    assert nys is not None and ny % nys == 0 and k // 2 <= nys
+    nstrip = ny // nys
+    kernel = functools.partial(
+        _fusedconv_kernel, kx=k, ky=k, kz=k, cin=cin, cout=cout, nx=nx,
+        nys=nys, ny=ny, nz=nz, act=act, has_bias=bias is not None,
+    )
+    if bias is None:
+        inner = kernel
+
+        def kernel(h_hbm, w_ref, out_ref, gbuf, win, hring, sems):
+            return inner(h_hbm, w_ref, None, out_ref, gbuf, win, hring,
+                         sems)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((kc, k, 128), lambda s, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [h, ws.astype(h.dtype)]
+    if bias is not None:
+        bp = jnp.pad(bias, (0, 128 - cout))
+        in_specs.append(pl.BlockSpec((1, 128), lambda s, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bp.reshape(1, 128).astype(jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrip, nx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nys, nz, 128), lambda s, i: (i, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nz, 128), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nys + k - 1, nz + (2 * _ZP if k > 1 else 0), cp),
+                       h.dtype),
+            pltpu.VMEM((nys + k - 1, nz, kc), h.dtype),
+            pltpu.VMEM((k, nys * nz, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _fused_wgrad_kernel(h_hbm, ct_hbm, dws_ref, gbuf, win, ctring, sems,
+                        ctsems, *, kx, ky, kz, cin, cout, nx, nys, ny,
+                        nz):
+    """dWs[:, dy] += win_p[dy:dy+nys]^T @ dH_p per input plane p, with
+    dH_p = sum_dx roll_right(ct_{p-dx+rx}, dx*cout) built from a ct ring."""
+    p = pl.program_id(1)
+    s = pl.program_id(0)
+    rx, ry, rz = kx // 2, ky // 2, kz // 2
+    m_out = nys * nz
+    kc = win.shape[-1]
+
+    plans = _fused_dma_plans(
+        h_hbm, gbuf, sems, s=s, nys=nys, ny=ny, nz=nz, ry=ry, rz=rz,
+        nsrc=nx,
+    )
+
+    R = kx + 1  # ct ring: kx live planes + one prefetch slot
+
+    def ct_load(q, slot):
+        # ct plane (q % nx), out-layout rows (no halo)
+        return pltpu.make_async_copy(
+            ct_hbm.at[pl.ds(q % nx, 1), pl.ds(s * nys, nys)],
+            ctring.at[pl.ds(slot, 1)],
+            ctsems.at[slot],
+        )
+
+    # pipeline: at plane p we need h plane p and ct planes p-rx..p+rx
+    @pl.when(p == 0)
+    def _():
+        for cp in plans(0, 0) + plans(1, 1):
+            cp.start()
+        # initial ct fill: the kx live planes plus one prefetch (waited
+        # at p == 1)
+        for q in range(-rx, rx + 2 if nx > 1 else rx + 1):
+            ct_load(q, q % R).start()
+
+    @pl.when((p > 0) & (p + 1 < nx))
+    def _():
+        for cp in plans(p + 1, (p + 1) % 2):
+            cp.start()
+
+    @pl.when((p > 0) & (p + 1 < nx))
+    def _():
+        ct_load(p + 1 + rx, (p + 1 + rx) % R).start()
+
+    @pl.when(p == 0)
+    def _():
+        for q in range(-rx, rx + 1):
+            ct_load(q, q % R).wait()
+        for cp in plans(0, 0):
+            cp.wait()
+
+    @pl.when((p == 0) & (s == 0))
+    def _():
+        dws_ref[...] = jnp.zeros(dws_ref.shape, dws_ref.dtype)
+
+    @pl.when(p > 0)
+    def _():
+        ct_load(p + rx, (p + rx) % R).wait()
+        for cp in plans(p, p % 2):
+            cp.wait()
+
+    _fold_win(gbuf, p % 2, win, kz=kz, cin=cin, nz=nz)
+    # dH_p: ct plane p - dx + rx sits in ring slot (p - dx + rx) % R
+    dH = ctring[(p + rx) % R].reshape(m_out, 128).astype(jnp.float32)
+    for dx in range(1, kx):
+        v = ctring[(p + rx - dx) % R].reshape(m_out, 128)
+        dH = dH + pltpu.roll(v.astype(jnp.float32), dx * cout, axis=1)
+    dn = (((0,), (0,)), ((), ()))
+    for dy in range(ky):
+        lhs = win[dy : dy + nys].reshape(m_out, kc)
+        dws_ref[:, dy] += jax.lax.dot_general(
+            lhs, dH.astype(lhs.dtype), dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+
+def fusedconv_wgrad_3d(h, ct, *, cin, cout, k, nys=None, interpret=False):
+    """Weight gradient in the packed (kc, k, 128) layout (see
+    `unpack_dws`).  ct: (nx, ny, nz, 128) cotangent of the PRE-activation
+    with lanes >= cout zeroed (the caller masks)."""
+    nx, ny, nz, cp = h.shape
+    kc = lanes(k * cin)
+    assert ct.shape[:3] == (nx, ny, nz) and ct.shape[3] == 128
+    if nys is None:
+        nys = _pick_nys(ny, nz, kc, k,
+                        itemsize=jnp.dtype(h.dtype).itemsize)
+    assert nys is not None and ny % nys == 0 and k // 2 <= nys
+    nstrip = ny // nys
+    kernel = functools.partial(
+        _fused_wgrad_kernel, kx=k, ky=k, kz=k, cin=cin, cout=cout,
+        nx=nx, nys=nys, ny=ny, nz=nz,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nstrip, nx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((kc, k, 128), lambda s, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc, k, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, nys + k - 1, nz + (2 * _ZP if k > 1 else 0), cp),
+                       h.dtype),
+            pltpu.VMEM((nys + k - 1, nz, kc), h.dtype),
+            pltpu.VMEM((k + 1, nys, nz, 128), ct.dtype),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((k + 1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(h, ct.astype(h.dtype))
+
+
+def make_fused_layer(actname, has_bias, *, cin, cout, k, interpret=False):
+    """Differentiable fused-fold conv layer over CANONICAL weights:
+    ``layer(h, w, bias) -> act(conv(h, w) + bias)`` with Pallas forward
+    AND backward (dh = same kernel, flipped/transposed taps; dw = the
+    wgrad accumulator kernel).  h: (nx, ny, nz, cp >= lanes(cin));
+    w: (k, k, k, cin, cout); returns (nx, ny, nz, 128), lanes >= cout
+    garbage."""
+    act, dact = _ACTS[actname]
+
+    @jax.custom_vjp
+    def layer(h, w, bias):
+        ws = pack_ws(w, h.dtype)
+        return fusedconv_3d(h, ws, bias if has_bias else None, act,
+                            cin=cin, cout=cout, k=k, interpret=interpret)
+
+    def _fwd(h, w, bias):
+        y = layer(h, w, bias)
+        return y, (h, w, y)
+
+    def _bwd(res, ct):
+        h, w, y = res
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+        dpre32 = jnp.where(
+            lane < cout, dact(y.astype(jnp.float32),
+                              ct.astype(jnp.float32)), 0.0
+        )
+        dpre = dpre32.astype(h.dtype)
+        dws = fusedconv_wgrad_3d(h, dpre, cin=cin, cout=cout, k=k,
+                                 interpret=interpret)
+        dw = unpack_dws(dws, k, k, k, cin, cout).astype(w.dtype)
+        db = (jnp.sum(dpre32[..., :cout], axis=(0, 1, 2)).astype(w.dtype)
+              if has_bias else jnp.zeros((cout,), w.dtype))
+        wsb = pack_ws_back(w, h.dtype)
+        dh = fusedconv_3d(dpre, wsb, None, None, cin=cout, cout=cin,
+                          k=k, interpret=interpret)
+        return dh, dw, db
+
+    layer.defvjp(_fwd, _bwd)
+    return layer

@@ -205,6 +205,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     # aligned); their periodic wrap is only wrong on the discarded edge
     # planes/rows.
     from ..ops.pallas_kernels import (
+        RECON,
         convdiff_interior_3d,
         momentum_stage_divhat_halo_3d,
         pcmsd_halo_profitable,
@@ -676,11 +677,14 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
 
         def merged_stage(ut, qhat, streams, streams_lo, coeffs, *, force,
                          emit_k=False, usnew_coeff=None, usnew_base=None,
-                         smag=None):
+                         smag=None, emit_u=False):
             """`fused_stage_hat` with the PREVIOUS stage's pressure
             correction merged in (per-shard `pcmsd_hat_halo_3d`): u is
             reconstructed in VMEM from halo'd (ut, qhat) ghost planes
-            and never round-trips HBM between interior stages."""
+            and never round-trips HBM between interior stages.
+            ``streams[0] is RECON`` (step-boundary merge) uses the
+            reconstruction itself as the tableau base; ``emit_u``
+            appends the reconstructed u to the return."""
             glo, ghi = (3, 2) if smag is not None else (2, 1)
             res = pcmsd_hat_halo_3d(
                 ut, _x_lo(ut, glo), _x_hi(ut, ghi),
@@ -690,13 +694,16 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                 bodyforce=force,
                 bodyforce_lo=(_x_lo(force, 1) if force is not None else None),
                 usnew_base=usnew_base, smag=smag,
-                precision=prec, **kw,
+                precision=prec, emit_u=emit_u, **kw,
             )
             res = list(res)
             k = res.pop(0) if emit_k else None
             ut2, divhat = res.pop(0), res.pop(0)
             usnew = res.pop(0) if usnew_coeff is not None else None
-            return k, ut2, passB_dist(divhat), usnew
+            out = (k, ut2, passB_dist(divhat), usnew)
+            if emit_u:
+                out = out + (res.pop(0),)
+            return out
 
         def correct(ut, qhat):
             return pressure_correct_qhat_halo_3d(
@@ -766,6 +773,50 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                     if unc is not None:
                         acc = usnew
                 return correct(ut, qhat), temp
+
+            def step_hat_local(ut, qhat, dt, theta, bf):
+                """`step_merged` on a per-shard (ut, qhat) hat carry:
+                stage 0 reconstructs the previous step's corrected u IN
+                VMEM (RECON base) and the final correction is deferred
+                to the NEXT step — u never round-trips HBM between scan
+                steps (the single-chip step-boundary merge of
+                ops/fastpath.py `step_merged_hat`, carried to shards;
+                the stage-0 ghost exchange moves from u to (ut, qhat),
+                both already exchanged for the interior stages)."""
+                force = force_nosmag(None, bf)
+                ustart = ustart_lo = acc = None
+                for i in range(ns):
+                    last = i == ns - 1
+                    bcoef = A[ns - 1][i]
+                    unc = dt * bcoef if (bcoef != 0.0 and not last) else None
+                    if i == 0:
+                        # the emitted reconstruction is only read back
+                        # as ustart by stages i >= 1
+                        res = merged_stage(
+                            ut, qhat, (RECON,), (RECON,), (dt * A[i][i],),
+                            force=force, emit_k=False, usnew_coeff=unc,
+                            smag=smag_arg(theta), emit_u=ns > 1,
+                        )
+                        if ns > 1:
+                            _, ut, qhat, usnew, ustart = res
+                            ustart_lo = _x_lo(ustart, 1)
+                        else:
+                            _, ut, qhat, usnew = res
+                        acc = usnew if unc is not None else ustart
+                    else:
+                        ub = None if (unc is None or acc is ustart) else acc
+                        st = (acc,) if last else (ustart,)
+                        st_lo = (
+                            (_x_lo(acc, 1),) if last else (ustart_lo,)
+                        )
+                        _, ut, qhat, usnew = merged_stage(
+                            ut, qhat, st, st_lo, (dt * A[i][i],),
+                            force=force, emit_k=False, usnew_coeff=unc,
+                            usnew_base=ub, smag=smag_arg(theta),
+                        )
+                        if unc is not None:
+                            acc = usnew
+                return ut, qhat
 
             def step_local(u, temp, dt, theta, bf):
                 if use_merged:
@@ -857,6 +908,32 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                     if unc is not None:
                         ustart = usnew
                 return correct(ut, qhat), temp
+
+            def step_hat_local(ut, qhat, dt, theta, bf):
+                """`step_merged` on a (ut, qhat) hat carry (see the ERK
+                twin).  LMWray3's later stages only read the ACCUMULATOR
+                (usnew), never ustart itself, so stage 0 skips even the
+                emit_u write — the step-boundary merge saves a full u
+                write AND read per step here."""
+                force = force_nosmag(None, bf)
+                _, ut, qhat, usnew = merged_stage(
+                    ut, qhat, (RECON,), (RECON,), (dt * a_[0],),
+                    force=force, emit_k=False,
+                    usnew_coeff=(dt * b_[0] if ns > 1 else None),
+                    smag=smag_arg(theta),
+                )
+                ustart = usnew
+                for i in range(1, ns):
+                    unc = dt * b_[i] if i < ns - 1 else None
+                    _, ut, qhat, usnew = merged_stage(
+                        ut, qhat, (ustart,), (_x_lo(ustart, 1),),
+                        (dt * a_[i],),
+                        force=force, emit_k=False, usnew_coeff=unc,
+                        smag=smag_arg(theta),
+                    )
+                    if unc is not None:
+                        ustart = usnew
+                return ut, qhat
 
             def step_local(u, temp, dt, theta, bf):
                 if use_merged:
@@ -989,4 +1066,58 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     step.fused = use_fused_local
     step.merged = use_fused_local and use_merged
     step.pallas = use_pallas_any
+
+    # Step-boundary merge across scan steps (the single-chip hat carry
+    # of ops/fastpath.py, carried to shards): the driver's fixed-dt scan
+    # chunks run over a sharded (ut, qhat) HatState — the final pressure
+    # correction of step s rides stage 0 of step s+1, so the corrected
+    # velocity never materializes in HBM inside a chunk.
+    step.hat = None
+    if use_fused_local and use_merged:
+        from ..ops.fastpath import HatState
+
+        def _stephl(ut, qhat, *args):
+            it = iter(args)
+            bf = next(it) if with_bf else None
+            dt = next(it)
+            theta = next(it)
+            return step_hat_local(ut, qhat, dt, theta, bf)
+
+        hat_in = (
+            (uspec, sspec) + ((uspec,) if with_bf else ()) + (P(), P())
+        )
+        raw_hat = jax.shard_map(
+            _stephl, mesh=mesh, in_specs=hat_in,
+            out_specs=(uspec, sspec), check_vma=False,
+        )
+        raw_corr = jax.shard_map(
+            lambda ut, qhat: correct(ut, qhat), mesh=mesh,
+            in_specs=(uspec, sspec), out_specs=uspec, check_vma=False,
+        )
+        qshard = NamedSharding(mesh, sspec)
+
+        def to_hat(state):
+            # qhat = 0 is an exact identity: u - grad(invtransform(0)) = u
+            qhat = jax.lax.with_sharding_constraint(
+                jnp.zeros((nx, ny, nz), dtype), qshard
+            )
+            return HatState(ut=state.u, qhat=qhat, temp=state.temp,
+                            t=state.t, n=state.n)
+
+        def step_hat(h, dt, theta=None):
+            thj = jnp.asarray(
+                0.0 if theta is None else theta, dtype
+            )
+            args = (h.ut, h.qhat)
+            if with_bf:
+                args += (bf_int,)
+            ut, qhat = raw_hat(*args, jnp.asarray(dt, dtype), thj)
+            return HatState(ut=ut, qhat=qhat, temp=h.temp, t=h.t + dt,
+                            n=h.n + 1)
+
+        def from_hat(h):
+            return StepperState(u=raw_corr(h.ut, h.qhat), temp=h.temp,
+                                t=h.t, n=h.n)
+
+        step.hat = (to_hat, step_hat, from_hat)
     return step

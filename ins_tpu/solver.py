@@ -115,6 +115,7 @@ def solve_unsteady(
     mesh=None,
     halo=False,
     halo_psolver="pencil",
+    halo_interpret=False,
     nan_guard=True,
     projection_precision=None,
 ):
@@ -128,6 +129,10 @@ def solve_unsteady(
     decomposition — the state is placed with spatial sharding and XLA
     GSPMD inserts the halo exchanges / FFT transposes over ICI (the
     reference is single-device; SURVEY.md §2.5).
+
+    `halo_interpret=True`: force the per-shard Pallas kernels in
+    interpreter mode (virtual-mesh CPU testing of the production halo
+    path — including the sharded hat carry).
 
     `halo=True` (requires `mesh`): step with the explicitly-scheduled
     shard_map path instead of GSPMD — ppermute halo exchanges, per-shard
@@ -196,6 +201,7 @@ def solve_unsteady(
             halo_step = make_halo_fast_step(
                 setup, method, mesh, psolver=halo_psolver,
                 projection_precision=projection_precision or "manualhigh",
+                pallas_interpret=halo_interpret,
             )
 
             def step(s, dtj, th):
@@ -250,6 +256,10 @@ def solve_unsteady(
                 setup, method,
                 projection_precision=projection_precision or "manualhigh",
             )
+        elif halo:
+            # the sharded twin (parallel/halo.py `step.hat`): scan
+            # chunks carry a sharded (ut, qhat) HatState
+            hat_fns = halo_step.hat
 
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
         def scan_steps(s, dtj, th, nsteps):
@@ -317,6 +327,7 @@ def solve_unsteady(
     fns = _get_compiled(
         setup, method, psolver, theta is None, _builder,
         extra=(projection_precision, halo, halo_psolver if halo else None,
+               halo_interpret if halo else None,
                id(mesh) if halo else None),
     )
     state = fns["make_stepper"](

@@ -146,9 +146,10 @@ def test_packconv_strips():
 
 
 def test_cnn_pallas_path_matches_xla():
-    """CNN closure with pallas=True (interpret) == XLA fold path: values
-    and parameter gradients (the production a-posteriori config routes
-    through this path on TPU; reference cnn.jl:5-48)."""
+    """CNN closure with pallas=True (interpret, fused-fold kernels) ==
+    XLA fold path: values and parameter gradients (the production
+    a-posteriori config routes through this path on TPU; reference
+    cnn.jl:5-48)."""
     import flax
     from ins_tpu.models.cnn import CNN
 
@@ -163,7 +164,7 @@ def test_cnn_pallas_path_matches_xla():
     mp = CNN(pallas=True, **kw)
     mx = CNN(pallas=False, **kw)
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.standard_normal((1, 6, 8, 128, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 32, 3)), jnp.float32)
     theta = mp.init(jax.random.PRNGKey(0), x)["params"]
 
     def loss(m, th):
@@ -180,9 +181,9 @@ def test_cnn_pallas_path_matches_xla():
         assert d < 2e-4 * scale, (k, d, scale)
 
 
-def test_cnn_pallas_batched_and_chunked():
-    """Batched (lax.map) and x-chunked Pallas evaluation agree with the
-    direct path."""
+def test_cnn_pallas_batched():
+    """Batched (lax.map) Pallas evaluation agrees with per-sample; the
+    fused path never x-chunks (kernels stream planes)."""
     from ins_tpu.models.cnn import CNN
 
     kw = dict(
@@ -195,11 +196,125 @@ def test_cnn_pallas_batched_and_chunked():
         pallas=True,
     )
     m = CNN(**kw)
+    # chunk thresholds met, but fused path must skip chunking
     mc = CNN(chunk_min_nx=8, chunk_x=4, **kw)
     rng = np.random.default_rng(8)
-    x = jnp.asarray(rng.standard_normal((2, 8, 4, 128, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 32, 3)), jnp.float32)
     theta = m.init(jax.random.PRNGKey(1), x)["params"]
     y = m.apply({"params": theta}, x)
+    y1 = m.apply({"params": theta}, x[:1])
     yc = mc.apply({"params": theta}, x)
     assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y[:1]), np.asarray(y1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(yc), np.asarray(y), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused-fold kernels (no XLA-side fold; periodic in x, y, z)
+# ---------------------------------------------------------------------------
+
+
+def _ref_periodic_conv(h, w, bias=None, act=None):
+    """out[x,y,z,o] = act(sum_{dx,dy,dz,c} h[x+dx-r, y+dy-r, z+dz-r, c]
+    * w[dx,dy,dz,c,o] + b) with circular wrap (reference cnn.jl conv)."""
+    k = w.shape[0]
+    r = k // 2
+    cin, cout = w.shape[3], w.shape[4]
+    out = 0.0
+    for dx in range(k):
+        for dy in range(k):
+            for dz in range(k):
+                hs = jnp.roll(h[..., :cin],
+                              (r - dx, r - dy, r - dz), axis=(0, 1, 2))
+                out = out + jnp.einsum(
+                    "xyzc,co->xyzo", hs.astype(jnp.float32),
+                    w[dx, dy, dz].astype(jnp.float32))
+    if bias is not None:
+        out = out + bias
+    if act is not None:
+        out = act(out)
+    return out
+
+
+def _mk_fused(nx=6, ny=8, nz=16, cin=5, cout=7, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    h = np.zeros((nx, ny, nz, 128), np.float32)
+    h[..., :cin] = rng.standard_normal((nx, ny, nz, cin))
+    # garbage beyond cin must be ignored
+    h[..., cin:] = 1e3 * rng.standard_normal((nx, ny, nz, 128 - cin))
+    w = 0.3 * rng.standard_normal((k, k, k, cin, cout)).astype(np.float32)
+    b = 0.1 * rng.standard_normal((cout,)).astype(np.float32)
+    return jnp.asarray(h), jnp.asarray(w), jnp.asarray(b)
+
+
+@pytest.mark.parametrize("nys", [None, 4])
+def test_fusedconv_matches_reference(nys):
+    from ins_tpu.ops.convkernels import fusedconv_3d, pack_ws
+
+    h, w, b = _mk_fused()
+    cin, cout, k = 5, 7, 3
+    ws = pack_ws(w, jnp.float32)
+    out = fusedconv_3d(h, ws, b, jnp.tanh, cin=cin, cout=cout, k=k,
+                       nys=nys, interpret=True)
+    ref = _ref_periodic_conv(h, w, b, jnp.tanh)
+    assert out.shape == (*h.shape[:3], 128)
+    np.testing.assert_allclose(out[..., :cout], ref, rtol=0, atol=1e-5)
+
+
+def test_fusedconv_wgrad_matches_reference():
+    from ins_tpu.ops.convkernels import (
+        fusedconv_wgrad_3d,
+        unpack_dws,
+    )
+
+    h, w, b = _mk_fused(seed=3)
+    cin, cout, k = 5, 7, 3
+    rng = np.random.default_rng(4)
+    ct = np.zeros((*h.shape[:3], 128), np.float32)
+    ct[..., :cout] = rng.standard_normal((*h.shape[:3], cout))
+    ct = jnp.asarray(ct)
+    dws = fusedconv_wgrad_3d(h, ct, cin=cin, cout=cout, k=k, nys=4,
+                             interpret=True)
+    dw = unpack_dws(dws, k, k, k, cin, cout)
+
+    def f(w):
+        return jnp.sum(_ref_periodic_conv(h, w) * ct[..., :cout])
+
+    dw_ref = jax.grad(f)(w)
+    np.testing.assert_allclose(dw, dw_ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("actname,has_bias", [("tanh", True), ("id", False)])
+def test_fused_layer_vjp(actname, has_bias):
+    from ins_tpu.ops.convkernels import make_fused_layer
+
+    h, w, b = _mk_fused(seed=5)
+    # zero the garbage lanes for the grad test: dL/dh of the reference
+    # is only defined on the cin live lanes
+    h = h.at[..., 5:].set(0.0)
+    cin, cout, k = 5, 7, 3
+    act = {"tanh": jnp.tanh, "id": None}[actname]
+    layer = make_fused_layer(actname, has_bias, cin=cin, cout=cout, k=k,
+                             interpret=True)
+
+    def f_pl(h, w, b):
+        y = layer(h, w, b)
+        return jnp.sum(jnp.sin(y[..., :cout]))
+
+    def f_ref(h, w, b):
+        y = _ref_periodic_conv(h, w, b if has_bias else None, act)
+        return jnp.sum(jnp.sin(y))
+
+    v_pl, g_pl = jax.value_and_grad(f_pl, argnums=(0, 1, 2))(h, w, b)
+    v_rf, g_rf = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(h, w, b)
+    assert abs(float(v_pl - v_rf)) < 1e-3 * max(1.0, abs(float(v_rf)))
+    # dh: reference grad lives on lanes < cin; pallas dh lanes >= cin
+    # are garbage by contract
+    scale = max(1.0, float(jnp.max(jnp.abs(g_rf[0]))))
+    dh_err = float(jnp.max(jnp.abs(g_pl[0][..., :cin] - g_rf[0][..., :cin])))
+    assert dh_err < 2e-4 * scale, dh_err
+    scale = max(1.0, float(jnp.max(jnp.abs(g_rf[1]))))
+    assert float(jnp.max(jnp.abs(g_pl[1] - g_rf[1]))) < 2e-4 * scale
+    if has_bias:
+        scale = max(1.0, float(jnp.max(jnp.abs(g_rf[2]))))
+        assert float(jnp.max(jnp.abs(g_pl[2] - g_rf[2]))) < 2e-4 * scale

@@ -229,6 +229,78 @@ def test_halo_fused_chain_matches_fastpath(method, merge):
 
 
 @needs8
+@pytest.mark.parametrize("method", ["rk44", "lmwray3"])
+def test_halo_hat_carry_matches_fastpath(method):
+    """The sharded step-boundary merge (`step.hat`: scan chunks carry a
+    sharded (ut, qhat) HatState; stage 0 reconstructs the previous
+    step's corrected u in VMEM via the RECON base) == the single-chip
+    fast path (f32) — the final correction only materializes at
+    `from_hat`."""
+    n = 32
+    setup = _setup3d_f32(n)
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44() if method == "rk44" else ins.LMWray3()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(11)
+        )
+    )
+    dt = 5e-3
+    s_ref = _fast_ref(setup, u0, None, m, dt, 3)
+
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True,
+        projection_precision="highest", merge=True,
+    )
+    assert step.hat is not None, "hat carry must be available when merged"
+    to_hat, step_hat, from_hat = step.hat
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    h = to_hat(s)
+    for _ in range(3):
+        h = step_hat(h, dt, 0.17)
+    s = from_hat(h)
+    assert int(s.n) == 3
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
+
+
+@needs8
+def test_solve_unsteady_halo_hat_integration():
+    """solve_unsteady(halo=True) fixed-dt scan chunks ride the sharded
+    hat carry and agree with per-step halo stepping."""
+    n = 32
+    setup = _setup3d_f32(n)
+    ps = ins.psolver_spectral(setup)
+    u0 = jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+        jax.random.PRNGKey(12)
+    )
+    mesh = make_mesh((4,), devices=jax.devices()[:4])
+    dt = 5e-3
+    sfin, _ = ins.solve_unsteady(
+        setup=setup, ustart=u0, tlims=(0.0, 4 * dt), dt=dt,
+        mesh=mesh, halo=True, halo_interpret=True,
+    )
+    ufin = sfin.u
+    # reference: per-step halo stepping (merged chain, no hat carry)
+    m = ins.RKMethods.RK44()
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True, merge=True,
+    )
+    s = StepperState(
+        u=shard_interior(mesh, strip_ghosts(u0)), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(4):
+        s = step(s, dt)
+    assert (
+        float(jnp.max(jnp.abs(ufin[:, 1:-1, 1:-1, 1:-1] - s.u))) < 1e-5
+    )
+
+
+@needs8
 def test_halo_fused_temperature_bodyforce():
     """Fused halo chain with Boussinesq temperature (+dissipation) and a
     steady body force == the single-chip fast path (f32)."""
