@@ -318,6 +318,12 @@ def main():
         ("256_lmwray3", lambda: run_case(256, 3, 20, method=ins.LMWray3())),
         ("512", lambda: run_case(512, 2, 5)),
         ("512_lmwray3", lambda: run_case(512, 2, 5, method=ins.LMWray3())),
+        # VERDICT-r3 items 5/6/7: Boussinesq 3D, wall-bounded channel,
+        # CG cavity — each through the same production entry points a
+        # reference user would hit.
+        ("256_boussinesq", lambda: run_temp_case(256, 3, 10)),
+        ("channel", lambda: run_solver_case(make_channel, 10)),
+        ("cavity_cg128", lambda: run_solver_case(make_cavity_cg, 10)),
     ]
     for name, fn in secondary:
         if not extras_left():
@@ -329,6 +335,16 @@ def main():
             extra[f"ms_per_step_{name}"] = ms
         except Exception as e:  # never fail the headline metric
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # VERDICT-r3 item 1: a-posteriori closure-training gradient step
+    # (s/step, lower is better — not a CUPS number).
+    if extras_left():
+        try:
+            extra["gradstep_128_s"] = run_gradstep_case(n=128, nunroll=5)
+        except Exception as e:
+            extra["gradstep_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        extra["gradstep_skipped"] = "bench time budget exhausted"
     print(
         json.dumps(
             {

@@ -122,7 +122,8 @@ def _roll_m(v, d):  # v[I - e_d]
 
 
 def make_fast_timestep_hat(setup, method, *,
-                           projection_precision="manualhigh"):
+                           projection_precision="manualhigh",
+                           _fused_interpret=False):
     """Step-boundary-merged fast path: returns ``(to_hat, step_hat,
     from_hat)`` where the scan carry is a `HatState` holding
     ``(ut, qhat)`` instead of u — the final pressure correction of step
@@ -134,13 +135,13 @@ def make_fast_timestep_hat(setup, method, *,
     `make_fast_timestep`)."""
     return make_fast_timestep(
         setup, method, projection_precision=projection_precision,
-        _hat=True,
+        _hat=True, _fused_interpret=_fused_interpret,
     )
 
 
 def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                        differentiable=False, pallas_interpret=False,
-                       _hat=False):
+                       _hat=False, _fused_interpret=False):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
     Reproduces the math of the ghosted ERK/LMWray3 steppers (which mirror
@@ -242,9 +243,15 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         stage_div_3d,
     )
 
+    # ``_fused_interpret``: test hook — run the FULLY-FUSED stage chain
+    # (incl. the merged pcmsd/hat step functions) with every Pallas
+    # kernel in interpreter mode, so the step-function tableau algebra
+    # is CPU-testable against the roll-graph twin (the production gate
+    # requires a real TPU backend).
     interp = bool(pallas_interpret)
-    kw = dict(interpret=True) if interp else {}
-    use_pallas = pallas_supported(setup) or (interp and D == 3)
+    fi = bool(_fused_interpret)
+    kw = dict(interpret=True) if (interp or fi) else {}
+    use_pallas = pallas_supported(setup) or ((interp or fi) and D == 3)
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
         if differentiable:
@@ -294,13 +301,28 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
     # per stage feeding the same stream.  Unsteady (time-dependent
     # callable) forces and untagged closures stay on the momentum() path.
     _no_bf = setup.bodyforce is None and setup.bodyforce_field is None
+    # Boussinesq temperature rides the fused stage kernels (buoyancy +
+    # temp RHS evaluated in-kernel, same tableau coefficients) — the
+    # kernels hold ONE tableau base/accumulator stream per field, which
+    # covers exactly the single-k-stream stage shapes: classic-row ERK
+    # tableaus (the b-row accumulator form) and LMWray3.
+    if isinstance(method, ExplicitRungeKuttaMethod):
+        _A, _ns = method.A, method.nstage
+        _lowstorage_rows = _ns >= 2 and all(
+            _A[i][j] == 0.0 for i in range(_ns - 1) for j in range(i)
+        )
+    else:
+        _lowstorage_rows = True
+    _fused_ok = fused_cube_supported(setup) or (
+        fi and D == 3 and all(int(Np[d]) == int(Np[-1]) for d in range(D))
+    )
     use_fused_stage = (
-        fused_cube_supported(setup)
+        _fused_ok
         and (setup.closure_model is None or _smag)
         and (_no_bf or bodyforce_int is not None)
-        and tq is None
+        and (tq is None or _lowstorage_rows)
         and not differentiable
-        and not interp
+        and (fi or not interp)
     )
 
     def convdiff(u):
@@ -399,7 +421,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         from .poisson_pallas import make_fused_projection
 
         proj = make_fused_projection(
-            Np, dxs, setup.dtype, precision=projection_precision
+            Np, dxs, setup.dtype, precision=projection_precision, **kw
         )
 
     _smag_d2 = float(sum(d * d for d in dxs)) if _smag else None
@@ -410,17 +432,28 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         pass, no HBM round-trip)."""
         return (theta, _smag_d2) if _smag else None
 
+    def temp_arg(T, tstart=None, tacc=None):
+        """Fused-kernel temperature argument: the current-stage temp
+        (RHS input), the tableau base stream (None: elided, stage 0),
+        and the optional separate b-row accumulator base."""
+        if T is None:
+            return None
+        return (T, tstart, tacc, gdir, alpha2, alpha4, dis_coef)
+
     def fused_stage_hat(u, streams, coeffs, *, force, emit_k=True,
-                        usnew_coeff=None, usnew_base=None, smag=None):
+                        usnew_coeff=None, usnew_base=None, smag=None,
+                        temp=None):
         """momentum + tableau accumulation + divergence in one kernel
         pass, then the Poisson pass B: returns
-        (k|None, ut, qhat, usnew|None) with the pressure correction
-        DEFERRED (apply via `correct`, or let the next stage's merged
-        kernel reconstruct u in VMEM).  ``streams`` is (ustart, k_j...)
-        with ``coeffs`` their tableau coefficients plus the new k's
-        coefficient last (the base axpy never materializes in HBM).
-        ``force`` is the stage's extra force stream (the steady body
-        force); ``smag`` fuses the Smagorinsky force (see `smag_arg`).
+        (k|None, ut, qhat, usnew|None[, temp_next, tempnew|None]) with
+        the pressure correction DEFERRED (apply via `correct`, or let
+        the next stage's merged kernel reconstruct u in VMEM).
+        ``streams`` is (ustart, k_j...) with ``coeffs`` their tableau
+        coefficients plus the new k's coefficient last (the base axpy
+        never materializes in HBM).  ``force`` is the stage's extra
+        force stream (the steady body force); ``smag`` fuses the
+        Smagorinsky force (see `smag_arg`); ``temp`` (a `temp_arg`
+        tuple) rides the Boussinesq temperature on the same pass.
         ``emit_k=False`` skips the k write (final stages);
         ``usnew_coeff`` fuses the low-storage accumulator update
         ``base + c*k`` as an extra kernel output (base = ``usnew_base``
@@ -431,28 +464,38 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
             precision=projection_precision, smag=smag,
+            temperature=temp, **kw,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
         ut, divhat = res.pop(0), res.pop(0)
         usnew = res.pop(0) if usnew_coeff is not None else None
-        return k, ut, proj["passB"](divhat), usnew
+        out = (k, ut, proj["passB"](divhat), usnew)
+        if temp is not None:
+            tnext = res.pop(0)
+            tnew = res.pop(0) if usnew_coeff is not None else None
+            out = out + (tnext, tnew)
+        return out
 
     def merged_stage_hat(ut, qhat, streams, coeffs, *, force,
                          emit_k=False, usnew_coeff=None, usnew_base=None,
-                         smag=None, emit_u=False):
+                         smag=None, emit_u=False, temp=None):
         """`fused_stage_hat` with the PREVIOUS stage's pressure
         correction merged in: u = ut - grad(q) is reconstructed in VMEM
         (ring-carried) and never round-trips HBM between interior
         stages (`pcmsd_hat_3d`); the Smagorinsky force can ride the
         reconstruction window.  ``streams[0] is RECON`` uses the
         reconstruction itself as the tableau base (step-boundary
-        merge); ``emit_u`` appends the reconstructed u to the return."""
+        merge); ``emit_u`` appends the reconstructed u to the return;
+        ``temp`` (a `temp_arg` tuple) rides the Boussinesq temperature
+        on the same pass (its RHS consumes the reconstructed u),
+        appending (temp_next, tempnew|None) like `fused_stage_hat`."""
         res = pcmsd_hat_3d(
             ut, qhat, streams, coeffs, visc_static, dxs, proj,
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
             precision=projection_precision, smag=smag, emit_u=emit_u,
+            temperature=temp, **kw,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -461,23 +504,33 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         out = (k, ut2, proj["passB"](divhat), usnew)
         if emit_u:
             out = out + (res.pop(0),)
+        if temp is not None:
+            tnext = res.pop(0)
+            tnew = res.pop(0) if usnew_coeff is not None else None
+            out = out + (tnext, tnew)
         return out
 
     def correct(ut, qhat):
         return pressure_correct_qhat_3d(
             ut, qhat, dxs, proj["V"], proj["VT"],
-            precision=projection_precision,
+            precision=projection_precision, **kw,
         )
 
     def fused_stage(u, streams, coeffs, *, force, emit_k=True,
-                    usnew_coeff=None, usnew_base=None, smag=None):
+                    usnew_coeff=None, usnew_base=None, smag=None,
+                    temp=None):
         """`fused_stage_hat` + the correction applied — returns
-        (k|None, u_next, usnew|None)."""
-        k, ut, qhat, usnew = fused_stage_hat(
+        (k|None, u_next, usnew|None[, temp_next, tempnew|None])."""
+        res = fused_stage_hat(
             u, streams, coeffs, force=force, emit_k=emit_k,
             usnew_coeff=usnew_coeff, usnew_base=usnew_base, smag=smag,
+            temp=temp,
         )
-        return k, correct(ut, qhat), usnew
+        k, ut, qhat, usnew = res[:4]
+        out = (k, correct(ut, qhat), usnew)
+        if temp is not None:
+            out = out + res[4:]
+        return out
 
     if isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
@@ -500,35 +553,60 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         use_merged = (
             use_fused_stage and lowstorage_rows
             and pcmsd_profitable(Np[0], 2 + (bodyforce_int is not None),
-                                 with_smag=_smag)
+                                 with_smag=_smag,
+                                 with_temp=tq is not None)
         )
 
         def step_merged(state, dt, theta):
             u, temp, t, n = state
             ustart = u
             acc = ustart
+            tempstart = tacc = temp
             ut = qhat = None
             for i in range(ns):
                 last = i == ns - 1
                 bcoef = A[ns - 1][i]
                 unc = dt * bcoef if (bcoef != 0.0 and not last) else None
                 ub = None if (unc is None or acc is ustart) else acc
+                targ = None
+                if temp is not None:
+                    # temp mirrors the velocity's tableau streams:
+                    # base = tempstart (tacc at the final b-row stage),
+                    # elided at stage 0 where temp IS tempstart
+                    tb = (
+                        None if (unc is None or tacc is tempstart)
+                        else tacc
+                    )
+                    targ = temp_arg(
+                        temp,
+                        tstart=(
+                            None if i == 0
+                            else (tacc if last else tempstart)
+                        ),
+                        tacc=tb,
+                    )
                 if i == 0:
-                    _, ut, qhat, usnew = fused_stage_hat(
+                    res = fused_stage_hat(
                         u, (ustart,), (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, smag=smag_arg(theta),
+                        temp=targ,
                     )
                 else:
-                    _, ut, qhat, usnew = merged_stage_hat(
+                    res = merged_stage_hat(
                         ut, qhat, ((acc,) if last else (ustart,)),
                         (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, usnew_base=ub,
-                        smag=smag_arg(theta),
+                        smag=smag_arg(theta), temp=targ,
                     )
+                _, ut, qhat, usnew = res[:4]
+                if temp is not None:
+                    temp, tnew = res[4:]
                 if unc is not None:
                     acc = usnew
+                    if temp is not None:
+                        tacc = tnew
             return StepperState(
                 u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
             )
@@ -541,10 +619,25 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             deferred to the NEXT step — u never round-trips HBM
             between scan steps."""
             ut, qhat, temp, t, n = h
+            tempstart = tacc = temp
             for i in range(ns):
                 last = i == ns - 1
                 bcoef = A[ns - 1][i]
                 unc = dt * bcoef if (bcoef != 0.0 and not last) else None
+                targ = None
+                if temp is not None:
+                    tb = (
+                        None if (unc is None or tacc is tempstart)
+                        else tacc
+                    )
+                    targ = temp_arg(
+                        temp,
+                        tstart=(
+                            None if i == 0
+                            else (tacc if last else tempstart)
+                        ),
+                        tacc=tb,
+                    )
                 if i == 0:
                     # the emitted reconstruction is only read back as
                     # ustart by stages i >= 1 — a 1-stage tableau skips
@@ -553,25 +646,28 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                         ut, qhat, (RECON,), (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, smag=smag_arg(theta),
-                        emit_u=ns > 1,
+                        emit_u=ns > 1, temp=targ,
                     )
-                    if ns > 1:
-                        _, ut, qhat, usnew, ustart = res
-                    else:
-                        _, ut, qhat, usnew = res
-                        ustart = None
+                    res = list(res)
+                    _, ut, qhat, usnew = res[:4]
+                    ustart = res[4] if ns > 1 else None
                     acc = usnew if unc is not None else ustart
                 else:
                     ub = None if (unc is None or acc is ustart) else acc
-                    _, ut, qhat, usnew = merged_stage_hat(
+                    res = merged_stage_hat(
                         ut, qhat, ((acc,) if last else (ustart,)),
                         (dt * A[i][i],),
                         force=bodyforce_int, emit_k=False,
                         usnew_coeff=unc, usnew_base=ub,
-                        smag=smag_arg(theta),
+                        smag=smag_arg(theta), temp=targ,
                     )
-                    if unc is not None:
-                        acc = usnew
+                    _, ut, qhat, usnew = res[:4]
+                if temp is not None:
+                    temp, tnew = res[-2:]
+                if unc is not None:
+                    acc = usnew
+                    if temp is not None:
+                        tacc = tnew
             return HatState(ut=ut, qhat=qhat, temp=temp, t=t + dt, n=n + 1)
 
         def step_unmerged(state, dt, theta):
@@ -581,19 +677,39 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             tempstart = temp
             ku, kt = [], []
             acc = ustart
+            tacc = tempstart
             for i in range(ns):
                 if use_fused_stage and lowstorage_rows:
                     t = tstart + c[i] * dt
                     if i == ns - 1:
-                        _, u, _ = fused_stage(
+                        targ = (
+                            temp_arg(temp, tstart=tacc)
+                            if temp is not None else None
+                        )
+                        res = fused_stage(
                             u, (acc,), (dt * A[i][i],),
                             force=bodyforce_int, smag=smag_arg(theta),
-                            emit_k=False,
+                            emit_k=False, temp=targ,
                         )
+                        u = res[1]
+                        if temp is not None:
+                            temp = res[3]
                     else:
                         bcoef = A[ns - 1][i]
                         unc = dt * bcoef if bcoef != 0.0 else None
-                        _, u, usnew = fused_stage(
+                        targ = None
+                        if temp is not None:
+                            tb = (
+                                None
+                                if (unc is None or tacc is tempstart)
+                                else tacc
+                            )
+                            targ = temp_arg(
+                                temp,
+                                tstart=(None if i == 0 else tempstart),
+                                tacc=tb,
+                            )
+                        res = fused_stage(
                             u, (ustart,), (dt * A[i][i],),
                             force=bodyforce_int, smag=smag_arg(theta),
                             emit_k=False,
@@ -603,9 +719,15 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                                 if unc is not None and acc is not ustart
                                 else None
                             ),
+                            temp=targ,
                         )
+                        _, u, usnew = res[:3]
+                        if temp is not None:
+                            temp, tnew = res[3:]
                         if usnew is not None:
                             acc = usnew
+                            if temp is not None:
+                                tacc = tnew
                     continue
                 if use_fused_stage:
                     t = tstart + c[i] * dt
@@ -654,29 +776,46 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         use_merged = (
             use_fused_stage
             and pcmsd_profitable(Np[0], 1 + (bodyforce_int is not None),
-                                 with_smag=_smag)
+                                 with_smag=_smag,
+                                 with_temp=tq is not None)
         )
 
         def step_merged(state, dt, theta):
             u, temp, t, n = state
             ustart = u
-            _, ut, qhat, usnew = fused_stage_hat(
+            tempstart = temp
+            res = fused_stage_hat(
                 u, (ustart,), (dt * a_[0],), force=bodyforce_int,
                 emit_k=False,
                 usnew_coeff=(dt * b_[0] if ns > 1 else None),
                 smag=smag_arg(theta),
+                temp=temp_arg(temp) if temp is not None else None,
             )
+            _, ut, qhat, usnew = res[:4]
+            if temp is not None:
+                temp, tnew = res[4:]
             if ns > 1:
                 ustart = usnew
+                if temp is not None:
+                    tempstart = tnew
             for i in range(1, ns):
                 unc = dt * b_[i] if i < ns - 1 else None
-                _, ut, qhat, usnew = merged_stage_hat(
+                res = merged_stage_hat(
                     ut, qhat, (ustart,), (dt * a_[i],),
                     force=bodyforce_int, emit_k=False, usnew_coeff=unc,
                     smag=smag_arg(theta),
+                    temp=(
+                        temp_arg(temp, tstart=tempstart)
+                        if temp is not None else None
+                    ),
                 )
+                _, ut, qhat, usnew = res[:4]
+                if temp is not None:
+                    temp, tnew = res[4:]
                 if unc is not None:
                     ustart = usnew
+                    if temp is not None:
+                        tempstart = tnew
             return StepperState(
                 u=correct(ut, qhat), temp=temp, t=t + dt, n=n + 1
             )
@@ -688,22 +827,38 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             write — the step-boundary merge saves a full u write+read
             per step here."""
             ut, qhat, temp, t, n = h
-            _, ut, qhat, usnew = merged_stage_hat(
+            tempstart = temp
+            res = merged_stage_hat(
                 ut, qhat, (RECON,), (dt * a_[0],), force=bodyforce_int,
                 emit_k=False,
                 usnew_coeff=(dt * b_[0] if ns > 1 else None),
                 smag=smag_arg(theta),
+                temp=temp_arg(temp) if temp is not None else None,
             )
+            _, ut, qhat, usnew = res[:4]
+            if temp is not None:
+                temp, tnew = res[4:]
+                if ns > 1:
+                    tempstart = tnew
             ustart = usnew
             for i in range(1, ns):
                 unc = dt * b_[i] if i < ns - 1 else None
-                _, ut, qhat, usnew = merged_stage_hat(
+                res = merged_stage_hat(
                     ut, qhat, (ustart,), (dt * a_[i],),
                     force=bodyforce_int, emit_k=False, usnew_coeff=unc,
                     smag=smag_arg(theta),
+                    temp=(
+                        temp_arg(temp, tstart=tempstart)
+                        if temp is not None else None
+                    ),
                 )
+                _, ut, qhat, usnew = res[:4]
+                if temp is not None:
+                    temp, tnew = res[4:]
                 if unc is not None:
                     ustart = usnew
+                    if temp is not None:
+                        tempstart = tnew
             return HatState(ut=ut, qhat=qhat, temp=temp, t=t + dt, n=n + 1)
 
         def step_unmerged(state, dt, theta):
@@ -716,14 +871,26 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                 if use_fused_stage:
                     # du itself is never needed: the accumulator update
                     # ustart += dt*b_i*du is a fused kernel output
-                    _, u, usnew = fused_stage(
+                    res = fused_stage(
                         u, (ustart,), (dt * a_[i],),
                         force=bodyforce_int, smag=smag_arg(theta),
-                            emit_k=False,
+                        emit_k=False,
                         usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
+                        temp=(
+                            temp_arg(
+                                temp,
+                                tstart=(None if i == 0 else tempstart),
+                            )
+                            if temp is not None else None
+                        ),
                     )
+                    _, u, usnew = res[:3]
+                    if temp is not None:
+                        temp, tnew = res[3:]
                     if i < ns - 1:
                         ustart = usnew
+                        if temp is not None:
+                            tempstart = tnew
                     continue
                 du = momentum(u, temp, ti, theta)
                 dtemp = temp_rhs(u, temp) if temp is not None else None

@@ -82,12 +82,13 @@ def _prep_mat(m_ref, manualhigh):
 
 def _mm_h(a, b_p, manualhigh):
     """Plane matmul a @ b with b prepared by `_prep_mat`.
-    manualhigh: 3 bf16 MXU passes (~Precision.HIGH); else f32 HIGHEST."""
+    manualhigh: 3 bf16 MXU passes (~Precision.HIGH); else HIGHEST in the
+    input dtype (f32 on hardware; f64-exact in interpret-mode tests)."""
     if not manualhigh:
         return jnp.dot(
             a,
             b_p,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=a.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
     ah, al = _split_bf16(a)
@@ -102,7 +103,7 @@ def _mm_h_left(a_p, b, manualhigh):
         return jnp.dot(
             a_p,
             b,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=b.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
     bh, bl = _split_bf16(b)
@@ -686,7 +687,7 @@ def _msd_hat_kernel(
     coeffs_smem, u_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k=True, with_usnew=False,
     with_bf=False, with_accbase=False, u_is_stream0=False,
-    smag_d2=None,
+    smag_d2=None, tparams=None,
 ):
     """_momentum_stage_div_kernel + in-kernel tableau accumulation +
     z/y forward eigen-transform of the divergence.
@@ -713,22 +714,43 @@ def _msd_hat_kernel(
     (coefficient 1, part of k).  ``with_accbase``: the usnew base is a
     SEPARATE stream (the RK b-row accumulator) riding last.
     ``u_is_stream0``: ustart IS u (stage 0) — its window is read from
-    the u scratch instead of a second DMA stream (m must be 0)."""
+    the u scratch instead of a second DMA stream (m must be 0).
+    ``tparams``: Boussinesq temperature riding the same pass —
+    ``(gdir, alpha2, alpha4, dis, t_elide, with_tacc, with_tempnew)``;
+    the temp field / tempstart / tempacc HBM refs follow the u streams
+    in ``args`` (``t_elide``: tempstart IS the temp field, no stream),
+    the temp_out / tempnew outputs ride after usnew, and the temp
+    window (ghosts (1, 1)) gets its own ring-carried scratch."""
     n_dma = (0 if u_is_stream0 else m + 1) + with_bf + with_accbase
     streams = args[:n_dma]     # [ustart, k_1..k_m][, bodyforce][, accbase]
+    with_temp = tparams is not None
+    if with_temp:
+        (t_gdir, t_alpha2, t_alpha4, t_dis,
+         t_elide, with_tacc, with_tempnew) = tparams
+        nts = (0 if t_elide else 1) + with_tacc
+        t_hbm = args[n_dma]
+        t_streams = args[n_dma + 1 : n_dma + 1 + nts]
+        args = args[:n_dma] + args[n_dma + 1 + nts :]
+    else:
+        nts = 0
+        with_tempnew = False
     vinvy_hbm = args[n_dma]
     vinvzT_hbm = args[n_dma + 1]
-    outs = list(args[n_dma + 2 : n_dma + 2 + emit_k + 2 + with_usnew])
-    rest = args[n_dma + 2 + emit_k + 2 + with_usnew :]
+    nout = emit_k + 2 + with_usnew + with_temp + with_tempnew
+    outs = list(args[n_dma + 2 : n_dma + 2 + nout])
+    rest = args[n_dma + 2 + nout :]
     k_out = outs.pop(0) if emit_k else None
     ut_out = outs.pop(0)
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
-    if n_dma:
-        su, sb, sems = rest
-    else:
-        su, sems = rest
-        sb = None
+    temp_out = outs.pop(0) if with_temp else None
+    tempnew_out = outs.pop(0) if with_tempnew else None
+    rest = list(rest)
+    su = rest.pop(0)
+    sb = rest.pop(0) if n_dma else None
+    st = rest.pop(0) if with_temp else None
+    stb = rest.pop(0) if nts else None
+    sems = rest.pop(0)
 
     i = pl.program_id(0)
     nslab = n // bx
@@ -808,24 +830,81 @@ def _msd_hat_kernel(
             for q in range(n_dma)
         ]
 
+    # temp window (ghosts (1, 1)): positions [0, bx+2) <-> globals
+    # [start-1, start+bx]; temp streams: [0, bx) <-> [start, start+bx)
+    # (no ghosts, no wrap)
+    t0 = 3 + 2 * n_dma
+
+    def t_full(s):
+        if not with_temp:
+            return []
+        cps = [
+            pltpu.make_async_copy(
+                t_hbm.at[pl.ds(n - 1, 1)], st.at[s, pl.ds(0, 1)],
+                sems.at[s, t0],
+            ),
+        ]
+        if nslab == 1:  # the single window's top ghost wraps
+            cps.append(pltpu.make_async_copy(
+                t_hbm.at[pl.ds(0, bx)], st.at[s, pl.ds(1, bx)],
+                sems.at[s, t0 + 1],
+            ))
+            cps.append(pltpu.make_async_copy(
+                t_hbm.at[pl.ds(0, 1)], st.at[s, pl.ds(bx + 1, 1)],
+                sems.at[s, t0 + 2 + nts],
+            ))
+        else:
+            cps.append(pltpu.make_async_copy(
+                t_hbm.at[pl.ds(0, bx + 1)], st.at[s, pl.ds(1, bx + 1)],
+                sems.at[s, t0 + 1],
+            ))
+        for q in range(nts):
+            cps.append(pltpu.make_async_copy(
+                t_streams[q].at[pl.ds(0, bx)], stb.at[s, q],
+                sems.at[s, t0 + 2 + q],
+            ))
+        return cps
+
+    def t_part(j, s):
+        if not with_temp:
+            return []
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                t_hbm.at[pl.ds(start + 1, bx - 1)],
+                st.at[s, pl.ds(2, bx - 1)], sems.at[s, t0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            t_hbm.at[pl.ds((start + bx) % n, 1)],
+            st.at[s, pl.ds(bx + 1, 1)], sems.at[s, t0 + 1],
+        ))
+        for q in range(nts):
+            cps.append(pltpu.make_async_copy(
+                t_streams[q].at[pl.ds(start, bx)], stb.at[s, q],
+                sems.at[s, t0 + 2 + q],
+            ))
+        return cps
+
     @pl.when(i == 0)
     def _():
-        for cp in u_full(0) + s_full(0):
+        for cp in u_full(0) + s_full(0) + t_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
-        for cp in u_part(i + 1, 1 - slot) + s_part(i + 1, 1 - slot):
+        for cp in (u_part(i + 1, 1 - slot) + s_part(i + 1, 1 - slot)
+                   + t_part(i + 1, 1 - slot)):
             cp.start()
 
     @pl.when(i == 0)
     def _():
-        for cp in u_full(0) + s_full(0):
+        for cp in u_full(0) + s_full(0) + t_full(0):
             cp.wait()
 
     @pl.when(i > 0)
     def _():
-        for cp in u_part(i, slot) + s_part(i, slot):
+        for cp in u_part(i, slot) + s_part(i, slot) + t_part(i, slot):
             cp.wait()
 
     # ring carry: seed window i+1's low planes from window i's buffer
@@ -836,6 +915,8 @@ def _msd_hat_kernel(
         su[1 - slot, :, 0:ng] = su[slot, :, bx : bx + ng]
         for q in range(n_dma):
             sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
+        if with_temp:
+            st[1 - slot, 0:2] = st[slot, bx : bx + 2]
 
     off = ng_lo - 2  # conv-diff sub-window offset inside the u window
 
@@ -866,6 +947,15 @@ def _msd_hat_kernel(
             if with_smag
             else None
         ),
+        temp=(
+            (st[slot],
+             None if t_elide else stb[slot, 0],
+             stb[slot, 0 if t_elide else 1] if with_tacc else None,
+             temp_out, tempnew_out,
+             t_gdir, t_alpha2, t_alpha4, t_dis)
+            if with_temp
+            else None
+        ),
     )
 
 
@@ -874,7 +964,7 @@ def _stage_tail(
     vinvy_hbm, vinvzT_hbm,
     *, visc, dx, vol, bx, m, manualhigh, emit_k, with_usnew,
     base=None, kstream=None, bf=None, acc=None, usnew_base=None,
-    smag=None,
+    smag=None, temp=None,
 ):
     """Shared stage tail: conv-diff on the window, optional k / usnew
     outputs, tableau accumulation, divergence, z/y forward transform.
@@ -893,7 +983,21 @@ def _stage_tail(
     Smagorinsky force computed IN the stage kernel from the widened
     (bx+5)-plane u window accessor ``ufull(a)`` (x-radius 2; reference
     runs it as a separate sweep, src/eddyviscosity.jl:48-156) and added
-    to the momentum eval."""
+    to the momentum eval.
+    ``temp``: optional ``(tw, tstart, tacc, temp_out, tempnew_out,
+    gdir, alpha2, alpha4, dis)`` — Boussinesq temperature riding the
+    SAME kernel pass (reference treats the temperature RHS as
+    first-class in the hot loop, src/operators.jl:711-808, 916-931):
+    ``tw`` is the (bx+2)-plane temp window (positions [0, bx+2) <->
+    globals [start-1, start+bx]), ``tstart`` the (bx)-plane tableau
+    base window (None: read it from ``tw``), ``tacc`` the optional
+    separate accumulator base (the temp b-row mirror of
+    ``usnew_base``).  The buoyancy force alpha2*avg_gdir(T) is added
+    to the momentum eval, and the temperature RHS (convection +
+    alpha4-diffusion + optional ``dis``-coefficient dissipation, which
+    re-derives the velocity Laplacian from the u window — the ghost
+    widths (2, 1) exactly cover it) advances with the stage's own
+    tableau coefficients (coeffs[m] / coeffs[m+1])."""
     smf = None
     if smag is not None:
         theta, d2, ufull = smag
@@ -901,11 +1005,25 @@ def _stage_tail(
             ufull(0), ufull(1), ufull(2), theta,
             dx=dx, d2=d2, bx=bx + 1, w=bx + 5,
         )
+    tbuoy = None
+    if temp is not None:
+        (tw, tstart, tacc, temp_out, tempnew_out,
+         t_gdir, t_alpha2, t_alpha4, t_dis) = temp
+        # face-averaged T on the (bx+1) momentum planes
+        # [start-1, start+bx-1] (shared with the x-flux below)
+        if t_gdir == 0:
+            tavg0 = 0.5 * (tw[: bx + 1] + tw[1 : bx + 2])
+        else:
+            twc = tw[: bx + 1]
+            tavg0 = 0.5 * (twc + _rp(twc, t_gdir))
+        tbuoy = t_alpha2 * tavg0
     d = None
     for a in range(3):
         f = _convdiff_window(at, visc, dx, a)
         if smf is not None:
             f = f + smf[a]
+        if tbuoy is not None and a == temp[5]:
+            f = f + tbuoy
         if bf is not None:
             f = f + bf(a)
         if emit_k:
@@ -933,6 +1051,58 @@ def _stage_tail(
         else:
             d += (ut_c - _rm(ut_c, a)) / dx[a]
     d = d * vol
+    if temp is not None:
+        # temperature RHS on the bx center planes [start, start+bx)
+        # (roll-twin: fastpath.temp_rhs; reference
+        # src/operators.jl:711-808)
+        Tc = tw[1 : bx + 1]
+        # x-axis: face fluxes at [start-1, start+bx-1] (tavg along x is
+        # exactly the gdir==0 buoyancy average)
+        if t_gdir == 0:
+            tavg_x = tavg0
+        else:
+            tavg_x = 0.5 * (tw[: bx + 1] + tw[1 : bx + 2])
+        uT_x = at(0, 1, -1) * tavg_x
+        dT_x = (tw[1 : bx + 2] - tw[: bx + 1]) / dx[0]
+        kt = (
+            -(uT_x[1:] - uT_x[:-1])
+            + t_alpha4 * (dT_x[1:] - dT_x[:-1])
+        ) / dx[0]
+        for b in (1, 2):
+            ub = at(b, 2, -1)  # u_b at [start, start+bx)
+            uT2 = ub * 0.5 * (Tc + _rp(Tc, b))
+            dT2 = (_rp(Tc, b) - Tc) / dx[b]
+            kt += (
+                -(uT2 - _rm(uT2, b)) + t_alpha4 * (dT2 - _rm(dT2, b))
+            ) / dx[b]
+        if t_dis is not None:
+            # dissipation: dis * sum_b (u_b diff_b)|_I avg'd to centers,
+            # diff_b = visc * Laplacian(u_b) re-derived from the window
+            w0 = at(0, 0, 0)  # [start-2, start+bx], bx+3 planes
+            w0c = w0[1:-1]
+            lap0 = (w0[2:] - 2.0 * w0c + w0[:-2]) / (dx[0] * dx[0])
+            for cax in (1, 2):
+                lap0 += (
+                    _rp(w0c, cax) - 2.0 * w0c + _rm(w0c, cax)
+                ) / (dx[cax] * dx[cax])
+            g0 = at(0, 1, -1) * (visc * lap0)
+            dacc = 0.5 * (g0[1:] + g0[:-1])
+            for b in (1, 2):
+                wb = at(b, 1, 0)  # [start-1, start+bx], bx+2 planes
+                wbc = wb[1:-1]
+                lapb = (wb[2:] - 2.0 * wbc + wb[:-2]) / (dx[0] * dx[0])
+                for cax in (1, 2):
+                    lapb += (
+                        _rp(wbc, cax) - 2.0 * wbc + _rm(wbc, cax)
+                    ) / (dx[cax] * dx[cax])
+                gb = at(b, 2, -1) * (visc * lapb)
+                dacc += 0.5 * (gb + _rm(gb, b))
+            kt += t_dis * dacc
+        tb = tstart if tstart is not None else Tc
+        temp_out[:, :, :] = tb + coeffs_smem[m] * kt
+        if tempnew_out is not None:
+            tb2 = tacc if tacc is not None else tb
+            tempnew_out[:, :, :] = tb2 + coeffs_smem[m + 1] * kt
     # z/y forward transform, per plane (Poisson pass A fused in)
     vinvy_s = _prep_mat(vinvy_hbm, manualhigh)
     vinvzT_s = _prep_mat(vinvzT_hbm, manualhigh)
@@ -1083,7 +1253,7 @@ def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, stream_accum=None,
-    usnew_base=None, smag=None,
+    usnew_base=None, smag=None, temperature=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -1119,7 +1289,23 @@ def momentum_stage_divhat_3d(
     ``smag``: optional ``(theta, d2)`` — fuse the natural-form
     Smagorinsky force into the kernel (widened u window, force computed
     in `_stage_tail`): the separate force kernel pass and its HBM
-    round-trip disappear."""
+    round-trip disappear.
+
+    ``temperature``: optional ``(temp, tempstart, tempacc, gdir,
+    alpha2, alpha4, dis)`` — Boussinesq temperature rides the SAME
+    kernel pass (reference evaluates the temperature RHS inside the hot
+    stage loop, src/time_steppers/step_explicit_runge_kutta.jl:20-28,
+    src/operators.jl:711-808, 916-931): the buoyancy force
+    ``alpha2*avg_gdir(temp)`` joins the momentum eval, and the
+    temperature convection-diffusion (+ ``dis``-coefficient
+    dissipation, recomputed from the in-VMEM u window) advances with
+    the stage's OWN tableau coefficients.  ``temp`` is the stage's
+    temperature (the RHS input); ``tempstart`` the tableau base
+    (None: tempstart IS temp — stage 0, stream elided); ``tempacc`` an
+    optional separate b-row accumulator base (temp mirror of
+    ``usnew_base``).  Appends outputs ``temp_next = tempstart +
+    coeffs[-1]*kt`` and — iff ``usnew_coeff`` — ``tempnew =
+    (tempacc or tempstart) + usnew_coeff*kt``."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -1138,33 +1324,58 @@ def momentum_stage_divhat_3d(
     if with_accbase:
         dma_streams = dma_streams + (usnew_base,)
     n_dma = len(dma_streams)
-    vol = float(np.prod(dxs))
+    with_temp = temperature is not None
     with_usnew = usnew_coeff is not None
+    if with_temp:
+        (t_field, t_start, t_acc, t_gdir,
+         t_alpha2, t_alpha4, t_dis) = temperature
+        t_elide = t_start is None
+        with_tacc = t_acc is not None
+        assert not (with_tacc and t_elide)
+        assert not (with_tacc and not with_usnew)
+        assert m == 0, "fused temp supports single-stream stages only"
+        nts = (0 if t_elide else 1) + with_tacc
+        t_hbm_args = (t_field,) + tuple(
+            s for s in (t_start, t_acc) if s is not None
+        )
+        tparams = (int(t_gdir), float(t_alpha2), float(t_alpha4),
+                   None if t_dis is None else float(t_dis),
+                   t_elide, with_tacc, with_usnew)
+    else:
+        nts = 0
+        t_hbm_args = ()
+        tparams = None
+    vol = float(np.prod(dxs))
     # streaming accumulation keeps VMEM flat in the stream count: pick
     # it whenever that buys a deeper slab (deep tableau rows at 512^3;
     # the ring-carry full-prefetch kernel is otherwise strictly better —
     # it never re-reads ghost planes)
+    # temp scratch (2*(b+2) window + 2*nts*b streams) + outputs and RHS
+    # temporaries (~10b), per-b plane count
+    t_planes = (12 + 2 * nts) if with_temp else 0
     if with_smag:
         # widened window + the smag body's strain/stress temporaries
         # (~13 single-buffered windows of bx+5 planes)
         bx_full = _pick_bx(
             n, lambda b: 6 * (b + 5) + 6 * n_dma * (b + 1) + 14 * b
-            + 20 * (b + 5)
+            + 20 * (b + 5) + t_planes * b
         )
     else:
         bx_full = _pick_bx(
             n, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b
+            + t_planes * b
         )
     bx_stream = _pick_bx(n, lambda b: 6 * (b + 3) + 9 * (b + 1) + 14 * b)
     if stream_accum is None:
         stream_accum = (
             nst >= 2
             and bx_stream > bx_full
-            and not (with_accbase or u_is_stream0 or with_smag)
+            and not (with_accbase or u_is_stream0 or with_smag or with_temp)
         )
     if stream_accum and with_usnew:
         assert m == 0, "streaming usnew needs acc == ustart (m == 0)"
-    assert not (stream_accum and (with_accbase or u_is_stream0 or with_smag))
+    assert not (stream_accum and (with_accbase or u_is_stream0 or with_smag
+                                  or with_temp))
     if bx is None:
         bx = bx_stream if stream_accum else bx_full
     while n % bx != 0:
@@ -1179,6 +1390,7 @@ def momentum_stage_divhat_3d(
             with_accbase=with_accbase,
             u_is_stream0=u_is_stream0,
             smag_d2=(float(smag[1]) if with_smag else None),
+            tparams=tparams,
         )
     )
     kernel = functools.partial(
@@ -1209,15 +1421,19 @@ def momentum_stage_divhat_3d(
         (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vec_shape = jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype)
+    sca_shape = jax.ShapeDtypeStruct((n, n, n), u_int.dtype)
+    n_tout = (1 + with_usnew) if with_temp else 0
     out_specs = (
         ([vec_spec] if emit_k else [])
         + [vec_spec, sca_spec]
         + ([vec_spec] if with_usnew else [])
+        + [sca_spec] * n_tout
     )
     out_shape = (
         ([vec_shape] if emit_k else [])
-        + [vec_shape, jax.ShapeDtypeStruct((n, n, n), u_int.dtype)]
+        + [vec_shape, sca_shape]
         + ([vec_shape] if with_usnew else [])
+        + [sca_shape] * n_tout
     )
     if stream_accum:
         scratch = [
@@ -1232,12 +1448,20 @@ def momentum_stage_divhat_3d(
         if n_dma:
             scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, n, n),
                                       u_int.dtype))
-        scratch.append(pltpu.SemaphoreType.DMA((2, 3 + 2 * n_dma)))
+        if with_temp:
+            scratch.append(pltpu.VMEM((2, bx + 2, n, n), u_int.dtype))
+            if nts:
+                scratch.append(pltpu.VMEM((2, nts, bx, n, n),
+                                          u_int.dtype))
+        scratch.append(pltpu.SemaphoreType.DMA(
+            (2, 3 + 2 * n_dma + (3 + nts if with_temp else 0))
+        ))
     return pl.pallas_call(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_dma + 1)
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        * (n_dma + 1 + len(t_hbm_args))
         + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1249,7 +1473,7 @@ def momentum_stage_divhat_3d(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(coeff_arr, u_int, *dma_streams, vinvy, vinvzT)
+    )(coeff_arr, u_int, *dma_streams, *t_hbm_args, vinvy, vinvzT)
 
 
 def _seg_window_copy(main, lo, hi, dst, sems, sem0, j, nslab, *, bx, nlo, nhi,
@@ -2088,7 +2312,7 @@ def _pcmsd_hat_kernel(
     coeffs_smem, utprev_hbm, qhat_hbm, *args,
     visc, dx, vol, bx, n, manualhigh, m, emit_k, with_usnew,
     with_bf=False, with_accbase=False, smag_d2=None,
-    base_is_recon=False, emit_u=False,
+    base_is_recon=False, emit_u=False, tparams=None,
 ):
     """Merged pressure-correction + next-stage momentum kernel.
 
@@ -2114,14 +2338,29 @@ def _pcmsd_hat_kernel(
     boundary merge: the final correction of step s rides stage 0 of
     step s+1, so u never materializes in HBM between scan steps).
     ``emit_u`` appends the reconstructed u as an extra output (RK44's
-    later stages read ustart from HBM; LMWray3's don't need it)."""
+    later stages read ustart from HBM; LMWray3's don't need it).
+    ``tparams``: Boussinesq temperature riding the pass exactly as in
+    `_msd_hat_kernel` — the temp RHS consumes the RECONSTRUCTED
+    (corrected) velocity window, matching the unmerged chain's
+    stage-input velocity."""
     n_dma = m + 1 - base_is_recon + with_bf + with_accbase
     streams = args[:n_dma]       # [ustart,] k_1..k_m [, bf][, accbase]
+    with_temp = tparams is not None
+    if with_temp:
+        (t_gdir, t_alpha2, t_alpha4, t_dis,
+         t_elide, with_tacc, with_tempnew) = tparams
+        nts = (0 if t_elide else 1) + with_tacc
+        t_hbm = args[n_dma]
+        t_streams = args[n_dma + 1 : n_dma + 1 + nts]
+        args = args[:n_dma] + args[n_dma + 1 + nts :]
+    else:
+        nts = 0
+        with_tempnew = False
     vy_hbm = args[n_dma]
     vzT_hbm = args[n_dma + 1]
     vinvy_hbm = args[n_dma + 2]
     vinvzT_hbm = args[n_dma + 3]
-    nout = emit_k + 2 + with_usnew + emit_u
+    nout = emit_k + 2 + with_usnew + emit_u + with_temp + with_tempnew
     outs = list(args[n_dma + 4 : n_dma + 4 + nout])
     rest = args[n_dma + 4 + nout :]
     k_out = outs.pop(0) if emit_k else None
@@ -2129,7 +2368,14 @@ def _pcmsd_hat_kernel(
     divhat_out = outs.pop(0)
     usnew_out = outs.pop(0) if with_usnew else None
     u_out = outs.pop(0) if emit_u else None
-    su, suw, sq, sqt, sb, sems = rest
+    temp_out = outs.pop(0) if with_temp else None
+    tempnew_out = outs.pop(0) if with_tempnew else None
+    rest = list(rest)
+    su, suw, sq, sqt, sb = rest[:5]
+    rest = rest[5:]
+    st = rest.pop(0) if with_temp else None
+    stb = rest.pop(0) if nts else None
+    sems = rest.pop(0)
 
     i = pl.program_id(0)
     nslab = n // bx
@@ -2221,25 +2467,73 @@ def _pcmsd_hat_kernel(
             for q in range(n_dma)
         ]
 
+    # temp window (ghosts (1, 1)): positions [0, bx+2) <-> globals
+    # [start-1, start+bx]; temp streams: [0, bx) <-> [start, start+bx)
+    # (the wrapper guarantees nslab >= 2, so only window 0's low ghost
+    # wraps)
+    t0 = s0 + 2 * n_dma
+
+    def t_full(s):
+        if not with_temp:
+            return []
+        cps = [
+            pltpu.make_async_copy(
+                t_hbm.at[pl.ds(n - 1, 1)], st.at[s, pl.ds(0, 1)],
+                sems.at[s, t0],
+            ),
+            pltpu.make_async_copy(
+                t_hbm.at[pl.ds(0, bx + 1)], st.at[s, pl.ds(1, bx + 1)],
+                sems.at[s, t0 + 1],
+            ),
+        ]
+        for q in range(nts):
+            cps.append(pltpu.make_async_copy(
+                t_streams[q].at[pl.ds(0, bx)], stb.at[s, q],
+                sems.at[s, t0 + 2 + q],
+            ))
+        return cps
+
+    def t_part(j, s):
+        if not with_temp:
+            return []
+        start = j * bx
+        cps = []
+        if bx > 1:
+            cps.append(pltpu.make_async_copy(
+                t_hbm.at[pl.ds(start + 1, bx - 1)],
+                st.at[s, pl.ds(2, bx - 1)], sems.at[s, t0],
+            ))
+        cps.append(pltpu.make_async_copy(
+            t_hbm.at[pl.ds((start + bx) % n, 1)],
+            st.at[s, pl.ds(bx + 1, 1)], sems.at[s, t0 + 1],
+        ))
+        for q in range(nts):
+            cps.append(pltpu.make_async_copy(
+                t_streams[q].at[pl.ds(start, bx)], stb.at[s, q],
+                sems.at[s, t0 + 2 + q],
+            ))
+        return cps
+
     @pl.when(i == 0)
     def _():
-        for cp in ut_full(0) + q_full(0) + s_full(0):
+        for cp in ut_full(0) + q_full(0) + s_full(0) + t_full(0):
             cp.start()
 
     @pl.when(i + 1 < nslab)
     def _():
         for cp in (ut_part(i + 1, 1 - slot) + q_part(i + 1, 1 - slot)
-                   + s_part(i + 1, 1 - slot)):
+                   + s_part(i + 1, 1 - slot) + t_part(i + 1, 1 - slot)):
             cp.start()
 
     @pl.when(i == 0)
     def _():
-        for cp in ut_full(0) + q_full(0) + s_full(0):
+        for cp in ut_full(0) + q_full(0) + s_full(0) + t_full(0):
             cp.wait()
 
     @pl.when(i > 0)
     def _():
-        for cp in ut_part(i, slot) + q_part(i, slot) + s_part(i, slot):
+        for cp in ut_part(i, slot) + q_part(i, slot) + s_part(i, slot) \
+                + t_part(i, slot):
             cp.wait()
 
     # --- reconstruction: u = ut_prev - grad(q) into suw[slot]
@@ -2286,6 +2580,8 @@ def _pcmsd_hat_kernel(
         suw[1 - slot, :, 0:ng] = suw[slot, :, bx : bx + ng]
         for q in range(n_dma):
             sb[1 - slot, q, :, 0:1] = sb[slot, q, :, bx : bx + 1]
+        if with_temp:
+            st[1 - slot, 0:2] = st[slot, bx : bx + 2]
 
     off = ng_lo - 2
 
@@ -2316,17 +2612,29 @@ def _pcmsd_hat_kernel(
             if with_smag
             else None
         ),
+        temp=(
+            (st[slot],
+             None if t_elide else stb[slot, 0],
+             stb[slot, 0 if t_elide else 1] if with_tacc else None,
+             temp_out, tempnew_out,
+             t_gdir, t_alpha2, t_alpha4, t_dis)
+            if with_temp
+            else None
+        ),
     )
     if emit_u:
         for a in range(3):
             u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx]
 
 
-def _pcmsd_planes(n_dma, with_smag, emit_u=False):
-    """VMEM plane-count estimate for the merged kernel's `_pick_bx`."""
+def _pcmsd_planes(n_dma, with_smag, emit_u=False, nts_temp=None):
+    """VMEM plane-count estimate for the merged kernel's `_pick_bx`.
+    ``nts_temp``: None (no temperature) or the temp stream count — adds
+    the temp window/stream scratch plus RHS temporaries."""
     nout = 3 + 1 + 3 + 3 * emit_u
     ng = 5 if with_smag else 3
     extra = 20 * (ng + 2) if with_smag else 0
+    t_planes = 0 if nts_temp is None else 12 + 2 * nts_temp
 
     def planes(b):
         # the kernel allocates the stream scratch as
@@ -2334,19 +2642,20 @@ def _pcmsd_planes(n_dma, with_smag, emit_u=False):
         # even when n_dma == 0, so the estimate must match.
         return (
             12 * (b + ng) + 2 * (b + ng + 1) + 6 * max(n_dma, 1) * (b + 1)
-            + 2 * nout * b + extra
+            + 2 * nout * b + extra + t_planes * b
         )
 
     return planes
 
 
-def pcmsd_profitable(n, n_dma, with_smag=False):
+def pcmsd_profitable(n, n_dma, with_smag=False, with_temp=False):
     """Whether the merged pc+momentum kernel should be used: profitable
     only when its (larger) VMEM footprint still allows a slab of >= 4
     planes — at bx=1 the per-window DMA-issue overhead dominates
     (measured 512^3 RK44: 143 ms merged vs 96 ms unmerged; 256^3 at
     bx=8: 9.5 vs 11.3 ms)."""
-    bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag))
+    bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag,
+                                   nts_temp=2 if with_temp else None))
     return min(bx, n // 2) >= 4
 
 
@@ -2354,7 +2663,7 @@ def pcmsd_hat_3d(
     ut_prev, qhat, streams, coeffs, visc, dxs, proj,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, usnew_base=None,
-    smag=None, emit_u=False,
+    smag=None, emit_u=False, temperature=None,
 ):
     """Merged pressure-correction + momentum + stage + divergence, one
     HBM pass: reconstructs ``u = ut_prev - grad(q)`` in VMEM (q's
@@ -2378,7 +2687,13 @@ def pcmsd_hat_3d(
     as stage 0 of step s+1, so u never round-trips HBM between steps.
     ``emit_u`` additionally writes the reconstructed u (RK44's later
     stages read it back as ustart; LMWray3's accumulator chain doesn't
-    need it)."""
+    need it).
+
+    ``temperature``: optional ``(temp, tempstart, tempacc, gdir,
+    alpha2, alpha4, dis)`` — Boussinesq temperature riding the merged
+    pass exactly as in `momentum_stage_divhat_3d`: the temp RHS and
+    dissipation consume the in-VMEM RECONSTRUCTED velocity, appending
+    ``temp_next`` (+ ``tempnew`` iff ``usnew_coeff``) outputs."""
     D, n, ny, nz = ut_prev.shape
     assert D == 3 and n == ny == nz
     streams = tuple(streams)
@@ -2400,8 +2715,31 @@ def pcmsd_hat_3d(
     ng = 5 if with_smag else 3
     vol = float(np.prod(dxs))
     with_usnew = usnew_coeff is not None
+    with_temp = temperature is not None
+    if with_temp:
+        (t_field, t_start, t_acc, t_gdir,
+         t_alpha2, t_alpha4, t_dis) = temperature
+        t_elide = t_start is None
+        with_tacc = t_acc is not None
+        assert not (with_tacc and t_elide)
+        assert not (with_tacc and not with_usnew)
+        assert m == 0, "fused temp supports single-stream stages only"
+        nts = (0 if t_elide else 1) + with_tacc
+        t_hbm_args = (t_field,) + tuple(
+            s for s in (t_start, t_acc) if s is not None
+        )
+        tparams = (int(t_gdir), float(t_alpha2), float(t_alpha4),
+                   None if t_dis is None else float(t_dis),
+                   t_elide, with_tacc, with_usnew)
+    else:
+        nts = 0
+        t_hbm_args = ()
+        tparams = None
     if bx is None:
-        bx = _pick_bx(n, _pcmsd_planes(n_dma, with_smag, emit_u))
+        bx = _pick_bx(n, _pcmsd_planes(
+            n_dma, with_smag, emit_u,
+            nts_temp=nts if with_temp else None,
+        ))
     while n % bx != 0:
         bx //= 2
     if bx == n:  # ring-carry window layout needs >= 2 windows
@@ -2423,6 +2761,7 @@ def pcmsd_hat_3d(
         smag_d2=(float(smag[1]) if with_smag else None),
         base_is_recon=base_is_recon,
         emit_u=emit_u,
+        tparams=tparams,
     )
     all_coeffs = (
         list(coeffs)
@@ -2439,34 +2778,46 @@ def pcmsd_hat_3d(
         (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vec_shape = jax.ShapeDtypeStruct((3, n, n, n), ut_prev.dtype)
+    sca_shape = jax.ShapeDtypeStruct((n, n, n), ut_prev.dtype)
+    n_tout = (1 + with_usnew) if with_temp else 0
     out_specs = (
         ([vec_spec] if emit_k else [])
         + [vec_spec, sca_spec]
         + ([vec_spec] if with_usnew else [])
         + ([vec_spec] if emit_u else [])
+        + [sca_spec] * n_tout
     )
     out_shape = (
         ([vec_shape] if emit_k else [])
-        + [vec_shape, jax.ShapeDtypeStruct((n, n, n), ut_prev.dtype)]
+        + [vec_shape, sca_shape]
         + ([vec_shape] if with_usnew else [])
         + ([vec_shape] if emit_u else [])
+        + [sca_shape] * n_tout
     )
+    scratch = [
+        pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
+        pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
+        pltpu.VMEM((2, bx + ng + 1, n, n), ut_prev.dtype),
+        pltpu.VMEM((n, n), ut_prev.dtype),
+        pltpu.VMEM((2, max(n_dma, 1), 3, bx + 1, n, n), ut_prev.dtype),
+    ]
+    if with_temp:
+        scratch.append(pltpu.VMEM((2, bx + 2, n, n), ut_prev.dtype))
+        if nts:
+            scratch.append(pltpu.VMEM((2, nts, bx, n, n), ut_prev.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (2, 4 + ng + 2 * max(n_dma, 1) + (2 + nts if with_temp else 0))
+    ))
     return pl.pallas_call(
         kernel,
         grid=(n // bx,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * (n_dma + 2)
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        * (n_dma + 2 + len(t_hbm_args))
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
-            pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
-            pltpu.VMEM((2, bx + ng + 1, n, n), ut_prev.dtype),
-            pltpu.VMEM((n, n), ut_prev.dtype),
-            pltpu.VMEM((2, max(n_dma, 1), 3, bx + 1, n, n), ut_prev.dtype),
-            pltpu.SemaphoreType.DMA((2, 4 + ng + 2 * max(n_dma, 1))),
-        ],
+        scratch_shapes=scratch,
         # 120 MB: at 512^3 even bx=1 sits at ~110.1 MB (the ring-carry
         # makes HBM traffic bx-independent, so the shallow slab costs
         # only DMA-issue overhead, not bandwidth)
@@ -2475,7 +2826,7 @@ def pcmsd_hat_3d(
         ),
         interpret=interpret,
     )(
-        coeff_arr, ut_prev, qhat, *dma_streams,
+        coeff_arr, ut_prev, qhat, *dma_streams, *t_hbm_args,
         proj["V"], proj["VT"], proj["Vinv"], proj["VinvT"],
     )
 

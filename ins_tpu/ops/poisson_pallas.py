@@ -67,8 +67,14 @@ def _split(a):
 
 def _dot_h(a, b, prec, dn=None):
     """Matmul at ~Precision.HIGH cost when ``prec is None``: 3 bf16 MXU
-    passes (hi*hi + hi*lo + lo*hi) with f32 accumulate."""
-    kw = dict(preferred_element_type=jnp.float32)
+    passes (hi*hi + hi*lo + lo*hi) with f32 accumulate.  Explicit-``prec``
+    (the "highest" path) accumulates in the input dtype, so f64
+    interpret-mode tests stay f64-exact."""
+    kw = dict(
+        preferred_element_type=(
+            jnp.float32 if prec is None else jnp.result_type(a, b)
+        )
+    )
     if dn is None:
         op = lambda x, y: jnp.dot(x, y, **kw)
     else:
@@ -90,12 +96,12 @@ def _passA_kernel(f_ref, vinvy_ref, vinvzT_ref, out_ref, *, bx, n, prec):
         out_ref[xi, :, :] = _dot_h(vinvy_ref[...], t[xi], prec)
 
 
-def _lam(idx, d, n, dxs):
+def _lam(idx, d, n, dxs, ftype=jnp.float32):
     """Second-difference eigenvalue -4 sin^2(pi*k/n)/dx^2 at frequency
     index k = ceil(idx/2) (eigenbasis ordering [const, cos_1, sin_1,
     ..., Nyquist] of ops/dft.py `fourier_eigenbasis`)."""
     kk = (idx + 1) // 2
-    s = jnp.sin((np.pi / n) * kk.astype(jnp.float32))
+    s = jnp.sin((np.pi / n) * kk.astype(ftype))
     return (-4.0 / (dxs[d] * dxs[d])) * s * s
 
 
@@ -109,12 +115,14 @@ def _passB_body(h_ref, vinvx_ref, vx_ref, out_ref, iy0,
     dn = (((1,), (0,)), ((), ()))
     g = _dot_h(vinvx_ref[...], h_ref[...], prec, dn)
 
+    ftype = g.dtype
     shape = (n, by, n)
     ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + iy0
     iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     den = vol * (
-        _lam(ix, 0, n, dxs) + _lam(iy, 1, n, dxs) + _lam(iz, 2, n, dxs)
+        _lam(ix, 0, n, dxs, ftype) + _lam(iy, 1, n, dxs, ftype)
+        + _lam(iz, 2, n, dxs, ftype)
     )
     inv = jnp.where(
         jnp.abs(den) < eps, 0.0, 1.0 / jnp.where(den == 0.0, 1.0, den)
@@ -147,12 +155,13 @@ def _passB_fold_body(h_ref, mat_refs, out_ref, iy0,
     Vinv_leaf, V_leaf].  The y/z directions stay in the standard paired
     ordering."""
     dn = (((1,), (0,)), ((), ()))
+    ftype = h_ref.dtype if prec is not None else jnp.float32
     iy = jax.lax.broadcasted_iota(jnp.int32, (1, by, n), 1) + iy0
     iz = jax.lax.broadcasted_iota(jnp.int32, (1, by, n), 2)
-    lam_yz = _lam(iy, 1, n, dxs) + _lam(iz, 2, n, dxs)
+    lam_yz = _lam(iy, 1, n, dxs, ftype) + _lam(iz, 2, n, dxs, ftype)
 
     def lamx(k):
-        s = jnp.sin((np.pi / n) * k.astype(jnp.float32))
+        s = jnp.sin((np.pi / n) * k.astype(ftype))
         return (-4.0 / (dxs[0] * dxs[0])) * s * s
 
     def scale(g, k):

@@ -116,6 +116,7 @@ def solve_unsteady(
     halo=False,
     halo_psolver="pencil",
     halo_interpret=False,
+    fastpath_interpret=False,
     nan_guard=True,
     projection_precision=None,
 ):
@@ -133,6 +134,11 @@ def solve_unsteady(
     `halo_interpret=True`: force the per-shard Pallas kernels in
     interpreter mode (virtual-mesh CPU testing of the production halo
     path — including the sharded hat carry).
+
+    `fastpath_interpret=True`: force the single-chip FUSED Pallas stage
+    chain (incl. the merged/hat-carry step functions) in interpreter
+    mode — CPU testing of the exact production single-chip path
+    through the full driver (scan chunks, adaptive dt, processors).
 
     `halo=True` (requires `mesh`): step with the explicitly-scheduled
     shard_map path instead of GSPMD — ppermute halo exchanges, per-shard
@@ -217,6 +223,7 @@ def solve_unsteady(
                 setup,
                 method,
                 projection_precision=projection_precision or "manualhigh",
+                _fused_interpret=fastpath_interpret,
             )
 
             def step(s, dtj, th):
@@ -255,6 +262,7 @@ def solve_unsteady(
             hat_fns = make_fast_timestep_hat(
                 setup, method,
                 projection_precision=projection_precision or "manualhigh",
+                _fused_interpret=fastpath_interpret,
             )
         elif halo:
             # the sharded twin (parallel/halo.py `step.hat`): scan
@@ -294,6 +302,19 @@ def solve_unsteady(
             margin = jnp.asarray(1e-14, tdt) * jnp.maximum(
                 jnp.asarray(1.0, tdt), jnp.abs(tend_j)
             )
+            # Hat carry on the adaptive path too (VERDICT-r3 item 10):
+            # the while_loop advances a (ut, qhat) HatState and the
+            # pressure correction only materializes u inside the
+            # `lax.cond` CFL-recompute branch (every n_adapt steps) —
+            # when n_adapt > 1, the per-step u round-trip of the plain
+            # carry is gone.  The CFL estimate itself is also under the
+            # cond now (the previous `jnp.where` computed the full CFL
+            # reduction every step and discarded it).
+            if hat_fns is not None:
+                to_hat, step_hat, from_hat = hat_fns
+                carry0, step_b, state_of = to_hat(s), step_hat, from_hat
+            else:
+                carry0, step_b, state_of = s, step, lambda si: si
 
             def cond(carry):
                 si, dtc, k = carry
@@ -301,15 +322,22 @@ def solve_unsteady(
 
             def body(carry):
                 si, dtc, k = carry
-                dtc = jnp.where(si.n % n_adapt == 0, cfl_j * cfl_u(si), dtc)
+                dtc = jax.lax.cond(
+                    si.n % n_adapt == 0,
+                    lambda s2, d: (cfl_j * cfl_u(state_of(s2))).astype(
+                        d.dtype
+                    ),
+                    lambda s2, d: d,
+                    si, dtc,
+                )
                 dtc = jnp.maximum(dtc, dt_min_j)
                 dt_step = jnp.minimum(dtc, tend_j - si.t).astype(tdt)
-                return (step(si, dt_step, th), dtc, k + 1)
+                return (step_b(si, dt_step, th), dtc, k + 1)
 
             si, dtc, _ = jax.lax.while_loop(
-                cond, body, (s, dt_cur, jnp.asarray(0, jnp.int32))
+                cond, body, (carry0, dt_cur, jnp.asarray(0, jnp.int32))
             )
-            return si, dtc
+            return state_of(si), dtc
 
         return dict(
             use_fast=use_fast,
@@ -328,7 +356,7 @@ def solve_unsteady(
         setup, method, psolver, theta is None, _builder,
         extra=(projection_precision, halo, halo_psolver if halo else None,
                halo_interpret if halo else None,
-               id(mesh) if halo else None),
+               id(mesh) if halo else None, fastpath_interpret),
     )
     state = fns["make_stepper"](
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)
