@@ -245,7 +245,10 @@ def make_cavity_cg(n=128):
     lid = (1.0, 0.0, 0.0)
     bc = ((d, d), (d, d), (d, ins.DirichletBC(lid)))
     setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float32)
-    psolver = ins.psolver_cg(setup, maxiter=50, reltol=1e-4)
+    # FDM-preconditioned CG (VERDICT-r4 item 3a): the eigen solve is the
+    # exact inverse on this separable grid, so CG converges in O(1)
+    # iterations instead of ~50 Jacobi-preconditioned stencil sweeps.
+    psolver = ins.psolver_cg(setup, maxiter=8, reltol=1e-4, precond="fdm")
     u0 = ins.velocityfield(
         setup, lambda dim, xx, yy, zz: 0.0 * xx, psolver=psolver
     )
@@ -273,13 +276,15 @@ def run_gradstep_case(n=64, nunroll=5):
     m = nc.wrappedclosure(closure, setup)
     loss = nc.create_loss_post(
         setup=setup, method=RK44(), psolver=psolver, closure_model=m,
-        nupdate=nunroll,
+        nsubstep=1, remat=True,
     )
     u0 = jax.jit(lambda key: ins.random_field(setup, kp=5, rng=key))(
         jax.random.PRNGKey(3)
     )
-    traj = jnp.stack([u0] * (nunroll + 1))
-    g = jax.jit(jax.grad(lambda th: loss(th, traj, jnp.asarray(5e-4))))
+    us = jnp.stack([u0 * (1.0 - 0.01 * i) for i in range(nunroll + 1)])
+    ts = jnp.arange(nunroll + 1, dtype=dtype) * 5e-4
+    data = [{"u": us, "t": ts}]
+    g = jax.jit(jax.grad(lambda th: loss(data, th)))
     gv = g(theta)
     jax.block_until_ready(gv)
     elapsed = float("inf")

@@ -17,7 +17,6 @@ sys.path.insert(0, ".")
 
 import ins_tpu as ins  # noqa: E402
 from ins_tpu.ops import fastpath as fp  # noqa: E402
-from ins_tpu.ops import pallas_kernels as pk  # noqa: E402
 from ins_tpu.time_steppers.step import StepperState  # noqa: E402
 
 
@@ -62,13 +61,7 @@ def parity(n=128):
     hat = fp.make_fast_timestep_hat(setup, m)
 
     # roll twin: gate every fused path off
-    sav = (pk.fused_cube_supported, pk.pallas_supported)
-    pk.fused_cube_supported = lambda s: False
-    pk.pallas_supported = lambda s: False
-    try:
-        step_roll = fp.make_fast_timestep(setup, m)
-    finally:
-        pk.fused_cube_supported, pk.pallas_supported = sav
+    step_roll = fp.make_fast_timestep(setup, m, _force_roll=True)
 
     @jax.jit
     def run_fused(s):
@@ -100,6 +93,7 @@ def parity(n=128):
         du_h = float(jnp.max(jnp.abs(c.u - b.u))) / su
         dT_h = float(jnp.max(jnp.abs(c.temp - b.temp))) / sT
         print(f"parity hat-vs-roll   n={n}: rel du={du_h:.3e} dT={dT_h:.3e}")
+        assert du_h < 5e-5 and dT_h < 5e-5, "hat temp parity FAIL"
     assert du < 5e-5 and dT < 5e-5, "fused temp parity FAIL"
 
 

@@ -139,9 +139,23 @@ def make_fast_timestep_hat(setup, method, *,
     )
 
 
+def _classic_lowstorage_rows(method):
+    """True when every intermediate (shifted-tableau) row's only nonzero
+    is its OWN stage's k — classic RK44 and friends, and LMWray3 by
+    construction.  Gates both the fused-temperature stage chain and the
+    merged (b-row accumulator) chain, so it must be computed ONCE."""
+    if isinstance(method, ExplicitRungeKuttaMethod):
+        A, ns = method.A, method.nstage
+        return ns >= 2 and all(
+            A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
+        )
+    return True
+
+
 def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                        differentiable=False, pallas_interpret=False,
-                       _hat=False, _fused_interpret=False):
+                       _hat=False, _fused_interpret=False,
+                       _force_roll=False):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
     Reproduces the math of the ghosted ERK/LMWray3 steppers (which mirror
@@ -252,6 +266,11 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
     fi = bool(_fused_interpret)
     kw = dict(interpret=True) if (interp or fi) else {}
     use_pallas = pallas_supported(setup) or ((interp or fi) and D == 3)
+    if _force_roll:
+        # Probe/test hook: build the pure roll-graph twin without
+        # monkeypatching the support gates (benchmarks/temp_probe.py).
+        interp = fi = False
+        use_pallas = False
     if use_pallas:
         visc_static = float(1.0 / np.asarray(setup.Re))
         if differentiable:
@@ -306,15 +325,10 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
     # kernels hold ONE tableau base/accumulator stream per field, which
     # covers exactly the single-k-stream stage shapes: classic-row ERK
     # tableaus (the b-row accumulator form) and LMWray3.
-    if isinstance(method, ExplicitRungeKuttaMethod):
-        _A, _ns = method.A, method.nstage
-        _lowstorage_rows = _ns >= 2 and all(
-            _A[i][j] == 0.0 for i in range(_ns - 1) for j in range(i)
-        )
-    else:
-        _lowstorage_rows = True
-    _fused_ok = fused_cube_supported(setup) or (
-        fi and D == 3 and all(int(Np[d]) == int(Np[-1]) for d in range(D))
+    _lowstorage_rows = _classic_lowstorage_rows(method)
+    _fused_ok = not _force_roll and (
+        fused_cube_supported(setup)
+        or (fi and D == 3 and all(int(Np[d]) == int(Np[-1]) for d in range(D)))
     )
     use_fused_stage = (
         _fused_ok
@@ -541,9 +555,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
         # incrementally as a fused usnew kernel output, so NO stage k
         # ever round-trips through HBM (emit_k is always False) and the
         # final stage reads 2 streams instead of ns+1.
-        lowstorage_rows = ns >= 2 and all(
-            A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
-        )
+        lowstorage_rows = _lowstorage_rows
         # Merged chain: interior stages run `pcmsd_hat_3d` — the
         # previous stage's pressure correction rides the next momentum
         # kernel, so u materializes in HBM only once per STEP (at

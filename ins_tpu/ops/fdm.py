@@ -25,10 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 
-from ..boundary_conditions import PressureBC, SymmetricBC
+from ..boundary_conditions import SymmetricBC
 from ._stencil import slc
 
-__all__ = ["psolver_fdm"]
+__all__ = ["psolver_fdm", "fdm_solve_box"]
 
 
 def _one_dim_operator(setup, d):
@@ -59,19 +59,20 @@ def _one_dim_operator(setup, d):
     return M
 
 
-def psolver_fdm(setup, *, nrefine=None):
-    """Direct Poisson solver by fast diagonalization (see module docs).
+def fdm_solve_box(setup):
+    """The core fast-diagonalization solve map on the interior DOF box:
+    ``fbox -> pbox`` with ``L p = f`` solved exactly (up to working
+    precision) by per-axis eigen contractions.
 
-    `nrefine`: iterative-refinement steps `p += L~^-1 (f - L p)` to squash
-    working-precision transform error (defaults to 1 in float32 — rel
-    error ~1e-5 -> ~1e-9 on strongly stretched grids — and 0 in float64).
+    As an operator the map is ``(x V_d) inv_denom (x V_d^T)`` — the
+    per-axis volume weights in ``V^-1 = V^T diag(delta)`` cancel against
+    the up-front ``1/Omega`` scaling — i.e. SYMMETRIC in the plain dot
+    product, which makes it a valid (near-exact) CG preconditioner
+    (`psolver_cg(precond="fdm")`).
     """
     g = setup.grid
     D = g.dim
     dtype = setup.dtype
-    ip = slc(g.Ip)
-    if nrefine is None:
-        nrefine = 1 if dtype == jnp.float32 else 0
 
     Vs, Vinvs, lams = [], [], []
     for d in range(D):
@@ -92,11 +93,6 @@ def psolver_fdm(setup, *, nrefine=None):
         denom = denom + lams[d].reshape(
             [-1 if i == d else 1 for i in range(D)]
         )
-    issingular = not any(
-        isinstance(bc, PressureBC)
-        for bcs in setup.boundary_conditions
-        for bc in bcs
-    )
     # Zero (nullspace) modes: pin to zero like the spectral solver's k=0
     small = np.abs(denom) < 1e-8 * np.max(np.abs(denom))
     denom_safe = np.where(small, 1.0, denom)
@@ -126,6 +122,23 @@ def psolver_fdm(setup, *, nrefine=None):
     def _solve_box(fbox):
         fhat = _contract(fbox * inv_om, Vinvs)
         return _contract(fhat * inv_denom, Vs)
+
+    return _solve_box
+
+
+def psolver_fdm(setup, *, nrefine=None):
+    """Direct Poisson solver by fast diagonalization (see module docs).
+
+    `nrefine`: iterative-refinement steps `p += L~^-1 (f - L p)` to squash
+    working-precision transform error (defaults to 1 in float32 — rel
+    error ~1e-5 -> ~1e-9 on strongly stretched grids — and 0 in float64).
+    """
+    g = setup.grid
+    dtype = setup.dtype
+    ip = slc(g.Ip)
+    if nrefine is None:
+        nrefine = 1 if dtype == jnp.float32 else 0
+    _solve_box = fdm_solve_box(setup)
 
     def psolve(p):
         from ..boundary_conditions import apply_bc_p

@@ -88,7 +88,9 @@ def _mm_h(a, b_p, manualhigh):
         return jnp.dot(
             a,
             b_p,
-            preferred_element_type=a.dtype,
+            # promote sub-f32 inputs (bf16) so "highest" never accumulates
+            # less precisely than manualhigh; f64 stays f64 for interpret
+            preferred_element_type=jnp.promote_types(a.dtype, jnp.float32),
             precision=jax.lax.Precision.HIGHEST,
         )
     ah, al = _split_bf16(a)
@@ -103,7 +105,7 @@ def _mm_h_left(a_p, b, manualhigh):
         return jnp.dot(
             a_p,
             b,
-            preferred_element_type=b.dtype,
+            preferred_element_type=jnp.promote_types(b.dtype, jnp.float32),
             precision=jax.lax.Precision.HIGHEST,
         )
     bh, bl = _split_bf16(b)

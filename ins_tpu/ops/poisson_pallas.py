@@ -72,7 +72,9 @@ def _dot_h(a, b, prec, dn=None):
     interpret-mode tests stay f64-exact."""
     kw = dict(
         preferred_element_type=(
-            jnp.float32 if prec is None else jnp.result_type(a, b)
+            jnp.float32
+            if prec is None
+            else jnp.promote_types(jnp.result_type(a, b), jnp.float32)
         )
     )
     if dn is None:

@@ -135,9 +135,19 @@ def psolver_spectral(setup):
 # --------------------------------------------------------------------------
 
 
-def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
-    """Matrix-free Jacobi-preconditioned CG as a `lax.while_loop`
-    (src/pressure.jl:209-286)."""
+def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None,
+               precond="jacobi"):
+    """Matrix-free preconditioned CG as a `lax.while_loop`
+    (src/pressure.jl:209-286).
+
+    ``precond``: "jacobi" (reference's diagonal-Laplace preconditioner,
+    src/pressure.jl:188-206) or "fdm" — the fast-diagonalization eigen
+    solve (`ops/fdm.py`) as M^-1.  The FDM map is the EXACT inverse on
+    any separable grid (it is symmetric in the plain dot product, see
+    `fdm_solve_box`), so FDM-CG converges in O(1) iterations there and
+    stays a cheap near-exact preconditioner otherwise; each application
+    is D MXU tensor contractions instead of hundreds of stencil sweeps.
+    """
     g = setup.grid
     dtype = setup.dtype
     if reltol is None:
@@ -163,11 +173,25 @@ def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
             g.plap_diag[d], shape
         )
 
-    def precond(r):
-        # z = -r / d with d the (negative) unmodified diagonal
-        # (src/pressure.jl:191-201)
-        z = jnp.zeros(g.N, dtype)
-        return z.at[ip].set(-r[ip] / diag)
+    if precond == "fdm":
+        from .fdm import fdm_solve_box
+
+        _solve_box = fdm_solve_box(setup)
+
+        def apply_precond(r):
+            z = jnp.zeros(g.N, dtype)
+            return z.at[ip].set(_solve_box(r[ip]))
+
+    elif precond == "jacobi":
+
+        def apply_precond(r):
+            # z = -r / d with d the (negative) unmodified diagonal
+            # (src/pressure.jl:191-201)
+            z = jnp.zeros(g.N, dtype)
+            return z.at[ip].set(-r[ip] / diag)
+
+    else:
+        raise ValueError(f"unknown precond {precond!r}")
 
     def inner(a, b):
         return jnp.sum(a[ip] * b[ip])
@@ -203,7 +227,7 @@ def psolver_cg(setup, *, abstol=0.0, reltol=None, maxiter=None):
 
         def body(state):
             p, r, q, rho_prev, residual, it = state
-            z = precond(r)
+            z = apply_precond(r)
             rho = inner(z, r)
             beta = rho / rho_prev
             q = z + beta * q
@@ -364,6 +388,11 @@ def psolver_direct(setup):
             sol = jnp.asarray(host_solve(np.asarray(f)))
         return p.at[ip].set(sol.reshape(g.Np))
 
+    # Tag for solve_unsteady's TPU guard: pure_callback round-trips the
+    # RHS to the host every solve, which is unsupported-slow inside TPU
+    # scan loops — the driver falls back to psolver_fdm there.
+    psolve.uses_host_callback = True
+    psolve._setup = setup
     return psolve
 
 

@@ -164,6 +164,26 @@ def solve_unsteady(
         method = RK44()
     if psolver is None:
         psolver = default_psolver(setup)
+    if (
+        getattr(psolver, "uses_host_callback", False)
+        and jax.default_backend() != "cpu"
+    ):
+        # psolver_direct round-trips every Poisson RHS to the host via
+        # jax.pure_callback — documented-unsupported in hot TPU loops.
+        # Fall back to the TPU-native fast-diagonalization direct solve
+        # (same math: exact separable solve; ops/fdm.py).
+        import warnings
+
+        from .ops.fdm import psolver_fdm
+
+        warnings.warn(
+            "psolver_direct uses a host callback per solve, which is "
+            "unsupported in TPU hot loops; solve_unsteady is substituting "
+            "the TPU-native psolver_fdm direct solver. Pass psolver_fdm/"
+            "psolver_cg/psolver_spectral explicitly to silence this.",
+            stacklevel=2,
+        )
+        psolver = psolver_fdm(setup)
     processors = dict(processors or {})
     if halo and mesh is None:
         raise ValueError("halo=True requires a mesh")
@@ -192,7 +212,18 @@ def solve_unsteady(
         )
 
         use_fast = not halo and fastpath_applicable(setup, method, psolver)
-        if projection_precision is not None and not (use_fast or halo):
+        # Wall-bounded (channel-topology) fast path: engaged when the
+        # chosen psolver is the FDM direct solve (the channel path's
+        # projection IS that solve, so the user's solver semantics are
+        # preserved; pass psolver_cg to force the general stepper).
+        use_channel = False
+        if not (halo or use_fast) and getattr(psolver, "is_fdm", False):
+            from .ops.channelpath import channelpath_applicable
+
+            use_channel = channelpath_applicable(setup, method)
+        if projection_precision is not None and not (
+            use_fast or halo or use_channel
+        ):
             import warnings
 
             warnings.warn(
@@ -232,6 +263,23 @@ def solve_unsteady(
             strip = jax.jit(strip_state)
             regh_state = jax.jit(reghost_state)
             regh = jax.jit(reghost)
+        elif use_channel:
+            from .ops.channelpath import (
+                make_channel_timestep,
+                reghost_channel,
+                strip_channel,
+            )
+
+            ch_step = make_channel_timestep(setup, method)
+
+            def step(s, dtj, th):
+                return ch_step(s, dtj, th)
+
+            strip = jax.jit(lambda s: s._replace(u=strip_channel(s.u)))
+            regh_state = jax.jit(
+                lambda s: s._replace(u=reghost_channel(s.u, setup))
+            )
+            regh = jax.jit(lambda u: reghost_channel(u, setup))
         else:
 
             def step(s, dtj, th):
@@ -288,7 +336,7 @@ def solve_unsteady(
             return s
 
         def cfl_u(s):
-            interior = use_fast or halo
+            interior = use_fast or halo or use_channel
             return get_cfl_timestep(regh(s.u) if interior else s.u, setup)
 
         # Adaptive stepping fully on-device: a `lax.while_loop` advances up
@@ -342,6 +390,7 @@ def solve_unsteady(
         return dict(
             use_fast=use_fast,
             use_halo=halo,
+            use_channel=use_channel,
             strip=strip,
             regh=regh,
             regh_state=regh_state,
@@ -361,7 +410,7 @@ def solve_unsteady(
     state = fns["make_stepper"](
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)
     )
-    if fns["use_fast"] or fns["use_halo"]:
+    if fns["use_fast"] or fns["use_halo"] or fns["use_channel"]:
         state = fns["strip"](state)
         if fns["use_halo"]:
             from .parallel.halo import shard_interior, shard_scalar

@@ -110,3 +110,68 @@ def test_cg_matrix_dirichlet(setup2d):
     pn = np.asarray(p[ip])
     pn = pn - pn.mean() + pe.mean()
     assert np.max(np.abs(pn - pe)) < 1e-6
+
+
+def test_direct_guarded_on_tpu_hot_loop(periodic_setup, monkeypatch):
+    """solve_unsteady must not run the pure_callback direct solver in a
+    TPU hot loop (VERDICT-r4 item 8): it warns and substitutes the
+    TPU-native psolver_fdm direct solve."""
+    import warnings
+
+    import jax
+
+    from ins_tpu.ops.pressure import psolver_direct
+    from ins_tpu import solver as solver_mod
+
+    setup = periodic_setup
+    psolve = psolver_direct(setup)
+    assert getattr(psolve, "uses_host_callback", False)
+
+    u0 = ins.velocityfield(
+        setup,
+        lambda d, x, y: jnp.sin(x) * jnp.cos(y) * (1.0 if d == 0 else -1.0),
+    )
+    monkeypatch.setattr(
+        solver_mod.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        state, _ = ins.solve_unsteady(
+            setup=setup, ustart=u0, tlims=(0.0, 2e-3), dt=1e-3,
+            psolver=psolve,
+        )
+    assert any("psolver_fdm" in str(x.message) for x in w)
+    assert bool(jnp.all(jnp.isfinite(state.u)))
+
+
+def test_cg_fdm_precond(periodic_setup):
+    """FDM-preconditioned CG (VERDICT-r4 item 3a): exact preconditioner
+    on a separable grid -> O(1) iterations to the analytic pressure."""
+    _check(
+        psolver_cg(periodic_setup, precond="fdm", maxiter=4), periodic_setup,
+        1e-5,
+    )
+
+
+def test_cg_fdm_precond_cavity():
+    """Uniform all-Dirichlet cavity cube: FDM-CG with a tiny maxiter must
+    match plain (Jacobi) CG run to tight tolerance."""
+    n = 16
+    x = tuple(np.linspace(0.0, 1.0, n + 1) for _ in range(3))
+    d = ins.DirichletBC()
+    bc = ((d, d), (d, d), (d, ins.DirichletBC((1.0, 0.0, 0.0))))
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3, dtype=jnp.float64)
+    g = setup.grid
+    import jax
+
+    p_ref = jax.random.normal(jax.random.PRNGKey(5), g.N, setup.dtype)
+    p_ref = ins.apply_bc_p(p_ref, jnp.asarray(0.0, setup.dtype), setup)
+    ip = slc(g.Ip)
+    p_ref = p_ref.at[ip].add(-jnp.mean(p_ref[ip]))
+    p_ref = ins.apply_bc_p(p_ref, jnp.asarray(0.0, setup.dtype), setup)
+    f = ins.laplacian(p_ref, setup)
+    p = poisson(psolver_cg(setup, precond="fdm", maxiter=4, reltol=1e-12), f)
+    pe = np.asarray(p_ref[ip])
+    pn = np.asarray(p[ip])
+    pn = pn - pn.mean() + pe.mean()
+    assert np.max(np.abs(pn - pe)) < 1e-9
