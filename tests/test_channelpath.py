@@ -246,3 +246,82 @@ def test_solve_unsteady_channel_engaged():
     err = float(jnp.max(jnp.abs(s_ch.u - s_ref.u)))
     scale = float(jnp.max(jnp.abs(s_ref.u))) + 1e-30
     assert err / scale < 1e-9, err / scale
+
+
+@pytest.mark.parametrize("stretched", [False, True])
+def test_channel_hat_matches_pallas(stretched):
+    """Merged-projection hat chain (interpret-mode kernels) == the
+    per-stage Pallas step, f64-exact over 3 steps."""
+    setup = make_setup(nx=8, ny=8, nz=8, stretched=stretched)
+    method = ins.RKMethods.RK44()
+    step_pl = cp.make_channel_timestep(setup, method, nrefine=0,
+                                       use_pallas=True,
+                                       pallas_interpret=True)
+    hat_fns = cp.make_channel_timestep_hat(setup, method, nrefine=0,
+                                           use_pallas=True,
+                                           pallas_interpret=True)
+    assert hat_fns is not None
+    to_hat, step_hat, from_hat = hat_fns
+    u0 = _divfree_state(setup, seed=3)
+    from ins_tpu.time_steppers.step import StepperState
+
+    s0 = StepperState(
+        u=cp.strip_channel(u0), temp=None,
+        t=jnp.asarray(0.0, setup.dtype), n=0,
+    )
+    sa = s0
+    h = to_hat(s0)
+    for _ in range(3):
+        sa = step_pl(sa, 1e-3, None)
+        h = step_hat(h, 1e-3, None)
+    sb = from_hat(h)
+    err = float(jnp.max(jnp.abs(sa.u - sb.u)))
+    assert err < 1e-12, err
+    assert float(sb.t) == pytest.approx(float(sa.t))
+    assert int(sb.n) == int(sa.n)
+
+
+def test_channel_hat_with_bodyforce_single_stage():
+    """Hat chain with a steady force and a 1-stage tableau (FE11): the
+    stage-0 recon doubles as the accumulator base."""
+    x = (
+        np.linspace(0.0, 4 * np.pi, 9),
+        np.linspace(0.0, 2 * np.pi, 9),
+        ins.tanh_grid(0.0, 2.0, 8, 1.3),
+    )
+    d = ins.DirichletBC()
+    bc = (
+        (ins.PeriodicBC(), ins.PeriodicBC()),
+        (ins.PeriodicBC(), ins.PeriodicBC()),
+        (d, d),
+    )
+    setup = ins.Setup(
+        x=x, boundary_conditions=bc, Re=700.0,
+        bodyforce=lambda dim, xx, yy, zz, t: (
+            jnp.where(dim == 0, 1.0, 0.0) + 0.0 * xx
+        ),
+        issteadybodyforce=True, dtype=jnp.float64,
+    )
+    method = ins.RKMethods.FE11()
+    step_pl = cp.make_channel_timestep(setup, method, nrefine=0,
+                                       use_pallas=True,
+                                       pallas_interpret=True)
+    hat_fns = cp.make_channel_timestep_hat(setup, method, nrefine=0,
+                                           use_pallas=True,
+                                           pallas_interpret=True)
+    to_hat, step_hat, from_hat = hat_fns
+    u0 = _divfree_state(setup, seed=5)
+    from ins_tpu.time_steppers.step import StepperState
+
+    s0 = StepperState(
+        u=cp.strip_channel(u0), temp=None,
+        t=jnp.asarray(0.0, setup.dtype), n=0,
+    )
+    sa = s0
+    h = to_hat(s0)
+    for _ in range(2):
+        sa = step_pl(sa, 1e-3, None)
+        h = step_hat(h, 1e-3, None)
+    sb = from_hat(h)
+    err = float(jnp.max(jnp.abs(sa.u - sb.u)))
+    assert err < 1e-12, err
