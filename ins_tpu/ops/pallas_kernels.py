@@ -1727,14 +1727,25 @@ def momentum_stage_divhat_halo_3d(
     ``streams``: each (3, lx, ny, nz) with its 1-plane lower ghost in
     ``streams_lo``; ``bodyforce``/``bodyforce_lo`` likewise.  Outputs
     are exact local extent — no edge planes to discard and NO
-    concat-padding in HBM.  ny == nz is the global cube extent
-    (unsharded on x-slabs), so the z/y forward transform is shard-local
-    and exact."""
+    concat-padding in HBM.  On x-slab meshes ny == nz is the global
+    cube extent (unsharded), so the z/y forward transform is
+    shard-local and exact.
+
+    2-D pencil meshes: the block's y extent is a y-halo'd local slice
+    (ly + 8 != nz) and ``vinvy`` is RECTANGULAR (ny_modes, ny_blk) — the
+    shard's column slice of the y eigenbasis with ZERO columns at the
+    halo-pad rows, so the pad rows (whose periodic y-wrap is wrong)
+    never reach the y transform and `divhat` holds this shard's PARTIAL
+    contribution to all ny_modes y-modes (completed by a psum_scatter
+    over the y mesh axis in `parallel/halo.py`)."""
     D, lx, ny, nz = u_loc.shape
     with_smag = smag is not None
     ng_lo, ng_hi = (3, 2) if with_smag else (2, 1)
     ng = ng_lo + ng_hi
-    assert D == 3 and ny == nz and lx >= 2 and lx % 2 == 0
+    ny_modes = vinvy.shape[0]
+    assert vinvy.shape[1] == ny and vinvzT.shape == (nz, nz), (
+        vinvy.shape, vinvzT.shape, (ny, nz))
+    assert D == 3 and lx >= 2 and lx % 2 == 0
     assert u_lo.shape == (3, ng_lo, ny, nz), (u_lo.shape, ng_lo)
     assert u_hi.shape == (3, ng_hi, ny, nz), (u_hi.shape, ng_hi)
     streams = tuple(streams)
@@ -1764,14 +1775,15 @@ def momentum_stage_divhat_halo_3d(
     n_dma = len(streams)
     vol = float(np.prod(dxs))
     if bx is None:
+        plane = max(ny, ny_modes) * nz
         if with_smag:
             bx = _pick_bx(
                 lx, lambda b: 6 * (b + 5) + 6 * n_dma * (b + 1) + 14 * b
-                + 20 * (b + 5), ny * nz)
+                + 20 * (b + 5), plane)
         else:
             bx = _pick_bx(
                 lx, lambda b: 6 * (b + 3) + 6 * n_dma * (b + 1) + 14 * b,
-                ny * nz)
+                plane)
     while lx % bx != 0:
         bx //= 2
     # the partial window reads main planes [start + bx, ng_hi)
@@ -1804,18 +1816,18 @@ def momentum_stage_divhat_halo_3d(
     vec_spec = pl.BlockSpec(
         (3, bx, ny, nz), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
     )
-    sca_spec = pl.BlockSpec(
-        (bx, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    dh_spec = pl.BlockSpec(
+        (bx, ny_modes, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vec_shape = jax.ShapeDtypeStruct((3, lx, ny, nz), u_loc.dtype)
     out_specs = (
         ([vec_spec] if emit_k else [])
-        + [vec_spec, sca_spec]
+        + [vec_spec, dh_spec]
         + ([vec_spec] if with_usnew else [])
     )
     out_shape = (
         ([vec_shape] if emit_k else [])
-        + [vec_shape, jax.ShapeDtypeStruct((lx, ny, nz), u_loc.dtype)]
+        + [vec_shape, jax.ShapeDtypeStruct((lx, ny_modes, nz), u_loc.dtype)]
         + ([vec_shape] if with_usnew else [])
     )
     scratch = [pltpu.VMEM((2, 3, bx + ng, ny, nz), u_loc.dtype)]

@@ -95,7 +95,8 @@ def _halo_pad(v, dim, axis_name, nshards, lo=1, hi=1):
 def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                         donate=False, cg_maxiter=None, cg_reltol=None,
                         projection_precision="manualhigh",
-                        pallas_interpret=False, merge="auto"):
+                        pallas_interpret=False, merge="auto",
+                        fused=True):
     """Build `step(state, dt, theta=None) -> state` for a 3D uniform
     periodic setup on x-slab (1-D mesh `("x",)`) or x/y-pencil (2-D mesh
     `("x", "y")`) sharded interior fields.
@@ -236,11 +237,26 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     use_pallas_local = pallas_ok and not has_y and align_1d
     use_pallas_2d = pallas_ok and has_y and align_2d
     use_fused_local = (
-        use_pallas_local
+        fused
+        and use_pallas_local
         and psolver == "pencil"
         and nx == ny == nz
         and ny % mx == 0
         and big_1d
+    )
+    # 2-D pencil meshes: the fused stage kernel runs on y-halo'd blocks
+    # with a RECTANGULAR zero-padded y-basis slice (partial y transform
+    # completed by a psum_scatter over 'y'; see fused_stage_2d below).
+    # The Smagorinsky closure and the merged chain stay 1-D-only.
+    use_fused_2d = (
+        fused
+        and use_pallas_2d
+        and psolver == "pencil"
+        and nx == ny == nz
+        and ny % (mx * my) == 0
+        and lx >= 2
+        and lx % 2 == 0
+        and setup.closure_model is None
     )
     if (visc_needed := use_pallas_local or use_pallas_2d):
         visc_static = float(1.0 / np.asarray(setup.Re))
@@ -451,6 +467,110 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
             return jax.lax.all_to_all(
                 qh, AXIS, split_axis=0, concat_axis=1, tiled=True
             )  # back to (lx, ny, nz)
+
+    if use_fused_2d:
+        # 2-D pencil twin of the fused eigen projection.  The stage
+        # kernel can only transform the UNSHARDED z axis exactly; for y
+        # it contracts against this shard's zero-padded column slice of
+        # Vinv_y, emitting a PARTIAL contribution to all ny y-modes.
+        # The schedule completes the transform with collectives:
+        #   psum_scatter('y')   sum partials, scatter y-modes  (lx,lym,nz)
+        #   all_to_all('x')     localize x                     (nx,ly2,nz)
+        #   passB (+ yoff)      x-forward, eigen-scale, x-inverse
+        #   all_to_all('x')     back                           (lx,lym,nz)
+        #   partial y-inverse + psum_scatter('y') over rows    (lx,ly,nz)
+        #   z-inverse (XLA matmul), modular pressure correction.
+        from ..ops.poisson_pallas import make_passB_sharded
+
+        ly2f = ny // (mx * my)
+        lym = ny // my
+        projd2 = make_passB_sharded(
+            (nx, ny, nz), dxs, dtype, ly2f,
+            precision=projection_precision, interpret=interp,
+        )
+        _P_HI = jax.lax.Precision.HIGHEST
+
+        def _pad_y4(v):
+            return _halo_pad(v, v.ndim - 2, AXIS_Y, my, 4, 4)
+
+        def _vinvy_shard_cols():
+            # (ny, ly + 8): this shard's y-rows as columns, zero at the
+            # 4 halo-pad rows each side (their periodic y-wrap inside
+            # the kernel block is wrong, so they must not contribute)
+            iy = jax.lax.axis_index(AXIS_Y)
+            cols = jax.lax.dynamic_slice_in_dim(
+                projd2["Vinv"], iy * ly, ly, 1
+            )
+            z4 = jnp.zeros((ny, 4), dtype)
+            return jnp.concatenate([z4, cols, z4], 1)
+
+        def projection_2d(divh_part):
+            """Distributed transform schedule from the kernel's partial
+            divhat (lx, ny, nz) to the real-space potential (lx, ly, nz)."""
+            dh = jax.lax.psum_scatter(
+                divh_part, AXIS_Y, scatter_dimension=1, tiled=True
+            )  # (lx, lym, nz): y-modes [iy*lym, (iy+1)*lym)
+            h = jax.lax.all_to_all(
+                dh, AXIS, split_axis=1, concat_axis=0, tiled=True
+            )  # (nx, ly2f, nz)
+            iy = jax.lax.axis_index(AXIS_Y)
+            ix = jax.lax.axis_index(AXIS)
+            qh = projd2["passB"](h, iy * lym + ix * ly2f)
+            qh = jax.lax.all_to_all(
+                qh, AXIS, split_axis=0, concat_axis=1, tiled=True
+            )  # (lx, lym, nz)
+            # y-inverse: partial over this shard's modes -> all ny rows,
+            # then scatter rows back over 'y'
+            rows = jax.lax.dynamic_slice_in_dim(
+                projd2["V"], iy * lym, lym, 1
+            )  # (ny, lym)
+            part = jnp.einsum(
+                "Yk,xkz->xYz", rows, qh, precision=_P_HI
+            )
+            qz = jax.lax.psum_scatter(
+                part, AXIS_Y, scatter_dimension=1, tiled=True
+            )  # (lx, ly, nz), still z-hat
+            # z-inverse: q[..., z] = sum_kz qz[..., kz] V[z, kz]
+            return jnp.matmul(qz, projd2["VT"], precision=_P_HI)
+
+        def fused_stage_2d(u, streams, coeffs, *, force, emit_k=True,
+                           usnew_coeff=None, usnew_base=None):
+            """Fused momentum + tableau + divergence + z-forward +
+            partial-y-forward in ONE kernel pass over the y-halo'd
+            block, then `projection_2d` and the modular correction.
+            Same contract as the 1-D `fused_stage` (minus smag)."""
+            up = _pad_y4(u)
+            st = tuple(up if s is u else _pad_y4(s) for s in streams)
+            st_lo = tuple(_x_lo(s, 1) for s in st)
+            bfp = _pad_y4(force) if force is not None else None
+            ubp = _pad_y4(usnew_base) if usnew_base is not None else None
+            res = momentum_stage_divhat_halo_3d(
+                up, _x_lo(up, 2), _x_hi(up, 1), st, st_lo, coeffs,
+                visc_static, dxs, _vinvy_shard_cols(), projd2["VinvT"],
+                emit_k=emit_k, usnew_coeff=usnew_coeff,
+                bodyforce=bfp,
+                bodyforce_lo=(
+                    _x_lo(bfp, 1) if bfp is not None else None
+                ),
+                usnew_base=ubp,
+                precision=projection_precision, **kw,
+            )
+            res = list(res)
+            k = res.pop(0)[:, :, 4:-4] if emit_k else None
+            ut = res.pop(0)
+            divh_part = res.pop(0)
+            usnew = (
+                res.pop(0)[:, :, 4:-4] if usnew_coeff is not None else None
+            )
+            q = projection_2d(divh_part)
+            # ut keeps the kernel's y-padded extent (the correction is
+            # elementwise in ut, so its pad rows are discarded below);
+            # only the x pad is exchanged for shape conformity
+            u_next = pressure_correct_3d(
+                _halo_pad(ut, 1, AXIS, mx, 1, 1),
+                _pad_blk2d(q), dxs, **kw,
+            )[:, 1:-1, 4:-4]
+            return k, u_next, usnew
 
     if psolver == "pencil" and not has_y:
         inv_denom_full = jnp.asarray(_denom((nx, ny, nzh)), dtype)
@@ -960,6 +1080,102 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
                         ustart = usnew
                 return u, temp
 
+    elif use_fused_2d:
+        # 2-D pencil fused chain: same stepper shapes as the 1-D fused
+        # (non-merged) path, with `fused_stage_2d` carrying the stage.
+        # Buoyancy rides the force stream; the temperature RHS stays on
+        # the modular kernel path (as on the 1-D chain).
+        def force_buoy(temp, bf):
+            out = bf
+            if temp is not None:
+                b = alpha2 * buoyancy_force(temp)
+                if out is None:
+                    out = jnp.zeros(
+                        (3,) + temp.shape, temp.dtype
+                    ).at[gdir].set(b)
+                else:
+                    out = out.at[gdir].add(b)
+            return out
+
+        if isinstance(method, ExplicitRungeKuttaMethod):
+            A, c, ns = method.A, method.c, method.nstage
+            lowstorage_rows = ns >= 2 and all(
+                A[i][j] == 0.0 for i in range(ns - 1) for j in range(i)
+            )
+
+            def step_local(u, temp, dt, theta, bf):
+                ustart, tempstart = u, temp
+                ku, kt = [], []
+                acc = ustart
+                for i in range(ns):
+                    if temp is not None:
+                        kt.append(temp_rhs_local(u, temp))
+                    force = force_buoy(temp, bf)
+                    if lowstorage_rows:
+                        if i == ns - 1:
+                            _, u, _ = fused_stage_2d(
+                                u, (acc,), (dt * A[i][i],), force=force,
+                                emit_k=False,
+                            )
+                        else:
+                            bcoef = A[ns - 1][i]
+                            unc = dt * bcoef if bcoef != 0.0 else None
+                            _, u, usnew = fused_stage_2d(
+                                u, (ustart,), (dt * A[i][i],), force=force,
+                                emit_k=False, usnew_coeff=unc,
+                                usnew_base=(
+                                    acc
+                                    if unc is not None and acc is not ustart
+                                    else None
+                                ),
+                            )
+                            if usnew is not None:
+                                acc = usnew
+                    else:
+                        streams, coeffs = [ustart], []
+                        for j in range(i):
+                            if A[i][j] != 0.0:
+                                streams.append(ku[j])
+                                coeffs.append(dt * A[i][j])
+                        coeffs.append(dt * A[i][i])
+                        k, u, _ = fused_stage_2d(
+                            u, tuple(streams), coeffs, force=force,
+                            emit_k=(i < ns - 1),
+                        )
+                        if k is not None:
+                            ku.append(k)
+                    if temp is not None:
+                        temp = tempstart
+                        for j in range(i + 1):
+                            if A[i][j] != 0.0:
+                                temp = temp + dt * A[i][j] * kt[j]
+                return u, temp
+
+        else:  # LMWray3
+            a_, b_, c_ = method.a, method.b, method.c
+            ns = len(a_)
+
+            def step_local(u, temp, dt, theta, bf):
+                ustart, tempstart = u, temp
+                for i in range(ns):
+                    dtemp = (
+                        temp_rhs_local(u, temp) if temp is not None else None
+                    )
+                    _, un, usnew = fused_stage_2d(
+                        u, (ustart,), (dt * a_[i],),
+                        force=force_buoy(temp, bf),
+                        emit_k=False,
+                        usnew_coeff=(dt * b_[i] if i < ns - 1 else None),
+                    )
+                    u = un
+                    if temp is not None:
+                        temp = tempstart + dt * a_[i] * dtemp
+                        if i < ns - 1:
+                            tempstart = tempstart + dt * b_[i] * dtemp
+                    if i < ns - 1:
+                        ustart = usnew
+                return u, temp
+
     elif isinstance(method, ExplicitRungeKuttaMethod):
         A, c, ns = method.A, method.c, method.nstage
 
@@ -1063,7 +1279,7 @@ def make_halo_fast_step(setup, method, mesh, *, psolver="pencil",
     # Driver hooks (`solve_unsteady(halo=True)`): trace the un-jitted
     # shard_map inside the driver's own jit/scan.
     step.raw = lambda state, dt, theta=None: _call(raw, state, dt, theta)
-    step.fused = use_fused_local
+    step.fused = use_fused_local or use_fused_2d
     step.merged = use_fused_local and use_merged
     step.pallas = use_pallas_any
 

@@ -402,7 +402,9 @@ def test_halo_2d_mesh_pallas(mshape):
 
     ndev = int(np.prod(mshape))
     mesh = make_mesh(mshape, devices=jax.devices()[:ndev])
-    step = make_halo_fast_step(setup, m, mesh, pallas_interpret=True)
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True, fused=False
+    )
     assert step.pallas and not step.fused
     s = StepperState(
         u=shard_interior(mesh, u0), temp=None,
@@ -478,3 +480,39 @@ def test_halo_no_donation_by_default():
     # both live: stepping twice from the same state must give the same u
     s1b = step(s0, 1e-3)
     assert float(jnp.max(jnp.abs(s1.u - s1b.u))) == 0.0
+
+
+@needs8
+@pytest.mark.parametrize("mshape", [(2, 4), (2, 2)])
+@pytest.mark.parametrize("method", ["rk44", "lmwray3"])
+def test_halo_fused_chain_2d_matches_fastpath(method, mshape):
+    """The 2-D pencil FUSED chain (stage kernel with the rectangular
+    zero-padded y-basis slice emitting partial y-modes, psum_scatter /
+    all_to_all transform schedule, shard-local pass B) in interpreter
+    mode == the single-chip fast path (f32)."""
+    n = 32
+    setup = _setup3d_f32(n)
+    ps = ins.psolver_spectral(setup)
+    m = ins.RKMethods.RK44() if method == "rk44" else ins.LMWray3()
+    u0 = strip_ghosts(
+        jax.jit(lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k))(
+            jax.random.PRNGKey(13)
+        )
+    )
+    dt = 5e-3
+    s_ref = _fast_ref(setup, u0, None, m, dt, 3)
+
+    ndev = int(np.prod(mshape))
+    mesh = make_mesh(mshape, devices=jax.devices()[:ndev])
+    step = make_halo_fast_step(
+        setup, m, mesh, pallas_interpret=True,
+        projection_precision="highest",
+    )
+    assert step.fused, "2-D fused chain must be selected on the pencil cube"
+    s = StepperState(
+        u=shard_interior(mesh, u0), temp=None,
+        t=jnp.asarray(0.0, jnp.float32), n=jnp.asarray(0),
+    )
+    for _ in range(3):
+        s = step(s, dt)
+    assert float(jnp.max(jnp.abs(s.u - s_ref.u))) < 5e-6
