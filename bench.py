@@ -17,6 +17,18 @@ import time
 from functools import partial
 
 import jax
+
+# Persistent compilation cache: the bench compiles ~10 configurations
+# (several through the axon remote-compile tunnel, each tens of seconds);
+# a warm cache cuts the wall time from ~24 to a few minutes.  Harmless
+# when cold.
+try:
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
