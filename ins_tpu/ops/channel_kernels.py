@@ -368,6 +368,7 @@ def channel_msd_3d(u, ustart, acc, met, *, visc, ca, cb, dt,
             + (3 * emit_us + 3 * emit_urec + 4) * b + 24
             + (2 * (b + 4) + 3 * (b + 3)) * recon,
             ny * nz,
+            candidates=(16, 8, 4, 2, 1),
         )
     while nx % bx != 0:
         bx //= 2
@@ -504,7 +505,8 @@ def channel_pressure_correct_3d(target, q, met, *, bx=None, interpret=False):
     D, nx, ny, nz = target.shape
     dtype = target.dtype
     if bx is None:
-        bx = _pick_bx(nx, lambda b: 2 * (b + 1) + 7 * b + 12, ny * nz)
+        bx = _pick_bx(nx, lambda b: 2 * (b + 1) + 7 * b + 12, ny * nz,
+                      candidates=(16, 8, 4, 2, 1))
     while nx % bx != 0:
         bx //= 2
     zmet = pack_zmet(met, nz, dtype)

@@ -123,6 +123,7 @@ def _roll_m(v, d):  # v[I - e_d]
 
 def make_fast_timestep_hat(setup, method, *,
                            projection_precision="manualhigh",
+                           stream_dtype=None,
                            _fused_interpret=False):
     """Step-boundary-merged fast path: returns ``(to_hat, step_hat,
     from_hat)`` where the scan carry is a `HatState` holding
@@ -132,10 +133,19 @@ def make_fast_timestep_hat(setup, method, *,
     chunk.  ``to_hat`` enters with ``(ut=u, qhat=0)`` (an exact
     identity: u - grad(0) = u); ``from_hat`` materializes u.  Returns
     ``None`` when the merged chain is inapplicable (then use
-    `make_fast_timestep`)."""
+    `make_fast_timestep`).
+
+    ``stream_dtype`` (e.g. ``jnp.bfloat16``): storage dtype for the
+    hat carry's velocity-like arrays (ut, the emitted ustart, the
+    b-row accumulator) — all in-kernel arithmetic, qhat, and the
+    pass-B solve stay at the working dtype (f32 accumulate; see
+    `pcmsd_hat_3d`).  Halves the velocity-stream HBM traffic at a
+    ~bf16-roundoff fidelity cost per step; see BASELINE.md for the
+    measured speed/fidelity table before enabling in production."""
     return make_fast_timestep(
         setup, method, projection_precision=projection_precision,
-        _hat=True, _fused_interpret=_fused_interpret,
+        _hat=True, _stream_dtype=stream_dtype,
+        _fused_interpret=_fused_interpret,
     )
 
 
@@ -154,7 +164,8 @@ def _classic_lowstorage_rows(method):
 
 def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
                        differentiable=False, pallas_interpret=False,
-                       _hat=False, _fused_interpret=False,
+                       _hat=False, _stream_dtype=None,
+                       _fused_interpret=False,
                        _force_roll=False):
     """Build `step(state, dt, theta) -> state` on interior-layout velocity.
 
@@ -924,8 +935,11 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
 
         def to_hat(state):
             # qhat = 0 is an exact identity: u - grad(invtransform(0)) = u
+            ut0 = state.u
+            if _stream_dtype is not None:
+                ut0 = ut0.astype(_stream_dtype)
             return HatState(
-                ut=state.u, qhat=jnp.zeros(Np_t, state.u.dtype),
+                ut=ut0, qhat=jnp.zeros(Np_t, state.u.dtype),
                 temp=state.temp, t=state.t, n=state.n,
             )
 

@@ -52,15 +52,19 @@ __all__ = [
 RECON = object()
 
 
-def _pick_bx(nx, planes_of_bx, plane_elems=None, budget_bytes=96 * 1024 * 1024):
+def _pick_bx(nx, planes_of_bx, plane_elems=None, budget_bytes=96 * 1024 * 1024,
+             candidates=(8, 4, 2, 1)):
     """Deepest slab depth whose VMEM footprint (`planes_of_bx(bx)` planes
     of `plane_elems` f32, default nx*nx for cubes) fits the budget.
     Probed at 256^3 (benchmarks/bx_probe.py): stage cost falls
     monotonically with bx (ghost re-reads amortize as (bx+3)/bx), so take
-    the largest that fits."""
+    the largest that fits.  Cube kernels cap at 8 (deeper slabs measured
+    flat-to-worse at 256³); the channel kernels pass deeper candidates —
+    their planes are 4× smaller, so per-window DMA-issue overhead still
+    matters at bx=8 (measured: msd 1.22 → 1.19 ms at bx=16)."""
     if plane_elems is None:
         plane_elems = nx * nx
-    for bx in (8, 4, 2, 1):
+    for bx in candidates:
         if nx % bx == 0 and planes_of_bx(bx) * plane_elems * 4 <= budget_bytes:
             return bx
     return 1
@@ -1029,7 +1033,7 @@ def _stage_tail(
         if bf is not None:
             f = f + bf(a)
         if emit_k:
-            k_out[a, :, :, :] = f[1:]
+            k_out[a, :, :, :] = f[1:].astype(k_out.dtype)
         if with_usnew:
             if usnew_base is not None:
                 base0 = usnew_base(a)
@@ -1037,7 +1041,9 @@ def _stage_tail(
                 base0 = acc(a)
             else:
                 base0 = base(a)
-            usnew_out[a, :, :, :] = base0[1:] + coeffs_smem[m + 1] * f[1:]
+            usnew_out[a, :, :, :] = (
+                base0[1:] + coeffs_smem[m + 1] * f[1:]
+            ).astype(usnew_out.dtype)
         # tableau accumulation: ustart + sum_j c_j k_j + c_new f
         if acc is not None:
             utw = acc(a)
@@ -1047,7 +1053,7 @@ def _stage_tail(
                 utw = utw + coeffs_smem[q - 1] * kstream(q, a)
         utw = utw + coeffs_smem[m] * f
         ut_c = utw[1:]
-        ut_out[a, :, :, :] = ut_c
+        ut_out[a, :, :, :] = ut_c.astype(ut_out.dtype)
         if a == 0:
             d = (utw[1:] - utw[:-1]) / dx[0]
         else:
@@ -2638,7 +2644,9 @@ def _pcmsd_hat_kernel(
     )
     if emit_u:
         for a in range(3):
-            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx]
+            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx].astype(
+                u_out.dtype
+            )
 
 
 def _pcmsd_planes(n_dma, with_smag, emit_u=False, nts_temp=None):
@@ -2724,6 +2732,10 @@ def pcmsd_hat_3d(
         dma_streams = dma_streams + (bodyforce,)
     if with_accbase:
         dma_streams = dma_streams + (usnew_base,)
+    # all DMA streams share one scratch buffer — coerce stragglers (the
+    # steady body force when the hat carry stores streams in bf16; the
+    # convert is loop-invariant so XLA hoists it out of the scan)
+    dma_streams = tuple(st.astype(ut_prev.dtype) for st in dma_streams)
     n_dma = len(dma_streams)
     with_smag = smag is not None
     ng = 5 if with_smag else 3
@@ -2777,13 +2789,20 @@ def pcmsd_hat_3d(
         emit_u=emit_u,
         tparams=tparams,
     )
+    # Mixed storage/compute dtypes (bf16 stream storage, VERDICT-r4
+    # item 5): velocity-like arrays (ut_prev, tableau streams, and the
+    # ut/usnew/u/k outputs) may be stored bf16 while qhat and all
+    # in-kernel arithmetic stay at the compute dtype (qhat.dtype) — the
+    # reconstruction upcasts, JAX type promotion keeps every
+    # accumulation in f32, and the stage-tail stores cast back.
+    cdtype = qhat.dtype
     all_coeffs = (
         list(coeffs)
         + ([usnew_coeff] if with_usnew else [])
         + ([smag[0]] if with_smag else [])
     )
     coeff_arr = jnp.stack(
-        [jnp.asarray(c, ut_prev.dtype) for c in all_coeffs]
+        [jnp.asarray(c, cdtype) for c in all_coeffs]
     ).reshape(len(all_coeffs))
     vec_spec = pl.BlockSpec(
         (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
@@ -2792,7 +2811,7 @@ def pcmsd_hat_3d(
         (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vec_shape = jax.ShapeDtypeStruct((3, n, n, n), ut_prev.dtype)
-    sca_shape = jax.ShapeDtypeStruct((n, n, n), ut_prev.dtype)
+    sca_shape = jax.ShapeDtypeStruct((n, n, n), cdtype)
     n_tout = (1 + with_usnew) if with_temp else 0
     out_specs = (
         ([vec_spec] if emit_k else [])
@@ -2809,16 +2828,16 @@ def pcmsd_hat_3d(
         + [sca_shape] * n_tout
     )
     scratch = [
-        pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
-        pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),
-        pltpu.VMEM((2, bx + ng + 1, n, n), ut_prev.dtype),
-        pltpu.VMEM((n, n), ut_prev.dtype),
+        pltpu.VMEM((2, 3, bx + ng, n, n), ut_prev.dtype),   # ut window
+        pltpu.VMEM((2, 3, bx + ng, n, n), cdtype),          # recon u
+        pltpu.VMEM((2, bx + ng + 1, n, n), cdtype),         # qhat window
+        pltpu.VMEM((n, n), cdtype),                         # carried q
         pltpu.VMEM((2, max(n_dma, 1), 3, bx + 1, n, n), ut_prev.dtype),
     ]
     if with_temp:
-        scratch.append(pltpu.VMEM((2, bx + 2, n, n), ut_prev.dtype))
+        scratch.append(pltpu.VMEM((2, bx + 2, n, n), cdtype))
         if nts:
-            scratch.append(pltpu.VMEM((2, nts, bx, n, n), ut_prev.dtype))
+            scratch.append(pltpu.VMEM((2, nts, bx, n, n), cdtype))
     scratch.append(pltpu.SemaphoreType.DMA(
         (2, 4 + ng + 2 * max(n_dma, 1) + (2 + nts if with_temp else 0))
     ))
@@ -3137,7 +3156,9 @@ def _pcmsd_hat_halo_kernel(
     )
     if emit_u:
         for a in range(3):
-            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx]
+            u_out[a, :, :, :] = suw[slot, a, ng_lo : ng_lo + bx].astype(
+                u_out.dtype
+            )
 
 
 def pcmsd_halo_profitable(lx, n_dma, plane_elems, with_smag=False):
@@ -3385,7 +3406,7 @@ def _pc_qhat_kernel(
             g = (qw[1:] - qw[:-1]) / dx[0]
         else:
             g = (rp(qc, a) - qc) / dx[a]
-        u_out[a, :, :, :] = su[slot, a] - g
+        u_out[a, :, :, :] = (su[slot, a] - g).astype(u_out.dtype)
 
 
 def pressure_correct_qhat_3d(
@@ -3394,9 +3415,12 @@ def pressure_correct_qhat_3d(
 ):
     """u = ut - grad(q) where q is given in the z/y eigen-basis
     (``qhat``); the inverse transform happens in-kernel (fused Poisson
-    pass C)."""
+    pass C).  ``ut_int`` may be stored bf16 (the hat carry's stream
+    dtype) — the correction then computes and emits u at qhat's
+    (compute) dtype."""
     D, n, ny, nz = ut_int.shape
     assert D == 3 and n == ny == nz
+    cdtype = qhat.dtype
     if bx is None:
         bx = _pick_bx(n, lambda b: 14 * b + 2)
     while n % bx != 0:
@@ -3420,11 +3444,11 @@ def pressure_correct_qhat_3d(
         out_specs=pl.BlockSpec(
             (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, n, n, n), ut_int.dtype),
+        out_shape=jax.ShapeDtypeStruct((3, n, n, n), cdtype),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
-            pltpu.VMEM((2, bx + 1, n, n), ut_int.dtype),
-            pltpu.VMEM((n, n), ut_int.dtype),
+            pltpu.VMEM((2, bx + 1, n, n), cdtype),
+            pltpu.VMEM((n, n), cdtype),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(

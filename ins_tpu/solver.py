@@ -119,6 +119,7 @@ def solve_unsteady(
     fastpath_interpret=False,
     nan_guard=True,
     projection_precision=None,
+    stream_dtype=None,
 ):
     """Solve the unsteady problem on `tlims`.
 
@@ -310,6 +311,7 @@ def solve_unsteady(
             hat_fns = make_fast_timestep_hat(
                 setup, method,
                 projection_precision=projection_precision or "manualhigh",
+                stream_dtype=stream_dtype,
                 _fused_interpret=fastpath_interpret,
             )
         elif halo:
@@ -411,7 +413,8 @@ def solve_unsteady(
         setup, method, psolver, theta is None, _builder,
         extra=(projection_precision, halo, halo_psolver if halo else None,
                halo_interpret if halo else None,
-               id(mesh) if halo else None, fastpath_interpret),
+               id(mesh) if halo else None, fastpath_interpret,
+               str(stream_dtype)),
     )
     state = fns["make_stepper"](
         ustart, tempstart, jnp.asarray(tstart, setup.dtype)

@@ -160,3 +160,46 @@ def test_fastpath_temperature_matches_ghosted(method, dodissipation):
     # public temp layout is re-ghosted and periodic
     tn = np.asarray(s_fast.temp)
     np.testing.assert_allclose(tn[0], tn[-2])
+
+
+def test_hat_bf16_stream_storage():
+    """bf16 stream storage on the merged hat chain (interpret mode):
+    velocity-like arrays stored bf16, arithmetic/qhat at f32 — the
+    chain runs, the carry holds the requested dtype, and the result
+    tracks the f32 chain to bf16-roundoff accumulation."""
+    import numpy as np
+
+    from ins_tpu.ops.fastpath import make_fast_timestep_hat, strip_ghosts
+    from ins_tpu.time_steppers.step import StepperState
+
+    n = 32
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3,
+                      dtype=jnp.float32)
+    ps = ins.psolver_spectral(setup)
+    u0 = strip_ghosts(jax.jit(
+        lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k)
+    )(jax.random.PRNGKey(0)))
+    m = ins.RKMethods.RK44()
+    res = {}
+    for sd in (None, jnp.bfloat16):
+        fns = make_fast_timestep_hat(
+            setup, m, stream_dtype=sd, _fused_interpret=True,
+            projection_precision="highest",
+        )
+        assert fns is not None
+        to_hat, step_hat, from_hat = fns
+        h = to_hat(StepperState(
+            u=u0, temp=None, t=jnp.float32(0), n=jnp.asarray(0)
+        ))
+        if sd is not None:
+            assert h.ut.dtype == jnp.bfloat16
+        for _ in range(3):
+            h = step_hat(h, jnp.float32(5e-3), None)
+        s = from_hat(h)
+        assert s.u.dtype == jnp.float32
+        res[sd is None] = s.u
+    err = float(jnp.max(jnp.abs(res[False] - res[True]))
+                / jnp.max(jnp.abs(res[True])))
+    assert np.isfinite(err) and err < 5e-2, err
