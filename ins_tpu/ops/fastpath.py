@@ -489,7 +489,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             emit_k=emit_k, usnew_coeff=usnew_coeff,
             bodyforce=force, usnew_base=usnew_base,
             precision=projection_precision, smag=smag,
-            temperature=temp, **kw,
+            temperature=temp, compute_dtype=setup.dtype, **kw,
         )
         res = list(res)
         k = res.pop(0) if emit_k else None
@@ -535,10 +535,10 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             out = out + (tnext, tnew)
         return out
 
-    def correct(ut, qhat):
+    def correct(ut, qhat, out_dtype=None):
         return pressure_correct_qhat_3d(
             ut, qhat, dxs, proj["V"], proj["VT"],
-            precision=projection_precision, **kw,
+            precision=projection_precision, out_dtype=out_dtype, **kw,
         )
 
     def fused_stage(u, streams, coeffs, *, force, emit_k=True,
@@ -552,7 +552,7 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
             temp=temp,
         )
         k, ut, qhat, usnew = res[:4]
-        out = (k, correct(ut, qhat), usnew)
+        out = (k, correct(ut, qhat, out_dtype=ut.dtype), usnew)
         if temp is not None:
             out = out + res[4:]
         return out
@@ -930,6 +930,27 @@ def make_fast_timestep(setup, method, *, projection_precision="manualhigh",
 
     if _hat:
         if not use_merged:
+            # bf16 stream storage WITHOUT the merged chain (512^3, where
+            # pcmsd is VMEM-gated off): carry a bf16-u StepperState over
+            # the unmerged fused chain — the stage kernels upcast windows
+            # to f32 (compute_dtype) and the per-stage correction emits
+            # the storage dtype.  Velocity traffic halves; qhat/divhat
+            # and all accumulations stay f32.
+            if (
+                _stream_dtype is not None
+                and use_fused_stage
+                and tq is None
+                and not _smag
+            ):
+                def to_sd(state):
+                    return state._replace(
+                        u=state.u.astype(_stream_dtype)
+                    )
+
+                def from_sd(state):
+                    return state._replace(u=state.u.astype(setup.dtype))
+
+                return to_sd, step_unmerged, from_sd
             return None
         Np_t = tuple(int(v) for v in Np)
 

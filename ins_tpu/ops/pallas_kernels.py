@@ -927,7 +927,10 @@ def _msd_hat_kernel(
     off = ng_lo - 2  # conv-diff sub-window offset inside the u window
 
     def at(a, lo_sh, hi_off):
-        return su[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
+        # promote sub-f32 (bf16-stored) windows so the stencil math runs
+        # in f32 (no-op astype for f32/f64 storage)
+        x = su[slot, a, off + lo_sh : off + bx + 3 + hi_off, :, :]
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
     if u_is_stream0:
         base = lambda a: su[slot, a, off + 1 : off + bx + 2]  # noqa: E731
@@ -949,7 +952,8 @@ def _msd_hat_kernel(
         usnew_base=(lambda a: sb[slot, idx_acc, a]) if with_accbase else None,
         smag=(
             (coeffs_smem[m + 1 + with_usnew], smag_d2,
-             lambda a: su[slot, a, 0:W])
+             lambda a: su[slot, a, 0:W].astype(
+                 jnp.promote_types(su.dtype, jnp.float32)))
             if with_smag
             else None
         ),
@@ -1261,7 +1265,7 @@ def momentum_stage_divhat_3d(
     u_int, streams, coeffs, visc, dxs, vinvy, vinvzT,
     *, precision="manualhigh", bx=None, interpret=False,
     emit_k=True, usnew_coeff=None, bodyforce=None, stream_accum=None,
-    usnew_base=None, smag=None, temperature=None,
+    usnew_base=None, smag=None, temperature=None, compute_dtype=None,
 ):
     """Fused momentum + RK tableau accumulation + divergence +
     z/y-forward eigen-transform (one HBM pass):
@@ -1316,6 +1320,7 @@ def momentum_stage_divhat_3d(
     (tempacc or tempstart) + usnew_coeff*kt``."""
     D, n, ny, nz = u_int.shape
     assert D == 3 and n == ny == nz
+    cdtype = u_int.dtype if compute_dtype is None else compute_dtype
     streams = tuple(streams)
     coeffs = tuple(coeffs)
     m = len(streams) - 1
@@ -1331,6 +1336,9 @@ def momentum_stage_divhat_3d(
         dma_streams = dma_streams + (bodyforce,)
     if with_accbase:
         dma_streams = dma_streams + (usnew_base,)
+    # all DMA streams share one scratch — coerce stragglers (the steady
+    # body force under bf16 stream storage; hoisted as loop-invariant)
+    dma_streams = tuple(st.astype(u_int.dtype) for st in dma_streams)
     n_dma = len(dma_streams)
     with_temp = temperature is not None
     with_usnew = usnew_coeff is not None
@@ -1378,8 +1386,10 @@ def momentum_stage_divhat_3d(
         stream_accum = (
             nst >= 2
             and bx_stream > bx_full
+            and cdtype == u_int.dtype
             and not (with_accbase or u_is_stream0 or with_smag or with_temp)
         )
+    assert not (stream_accum and cdtype != u_int.dtype)
     if stream_accum and with_usnew:
         assert m == 0, "streaming usnew needs acc == ustart (m == 0)"
     assert not (stream_accum and (with_accbase or u_is_stream0 or with_smag
@@ -1420,7 +1430,7 @@ def momentum_stage_divhat_3d(
         + ([smag[0]] if with_smag else [])
     )
     coeff_arr = jnp.stack(
-        [jnp.asarray(c, u_int.dtype) for c in all_coeffs]
+        [jnp.asarray(c, cdtype) for c in all_coeffs]
     ).reshape(len(all_coeffs))
     vec_spec = pl.BlockSpec(
         (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
@@ -1429,7 +1439,7 @@ def momentum_stage_divhat_3d(
         (bx, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vec_shape = jax.ShapeDtypeStruct((3, n, n, n), u_int.dtype)
-    sca_shape = jax.ShapeDtypeStruct((n, n, n), u_int.dtype)
+    sca_shape = jax.ShapeDtypeStruct((n, n, n), cdtype)
     n_tout = (1 + with_usnew) if with_temp else 0
     out_specs = (
         ([vec_spec] if emit_k else [])
@@ -1457,10 +1467,10 @@ def momentum_stage_divhat_3d(
             scratch.append(pltpu.VMEM((2, n_dma, 3, bx + 1, n, n),
                                       u_int.dtype))
         if with_temp:
-            scratch.append(pltpu.VMEM((2, bx + 2, n, n), u_int.dtype))
+            scratch.append(pltpu.VMEM((2, bx + 2, n, n), cdtype))
             if nts:
                 scratch.append(pltpu.VMEM((2, nts, bx, n, n),
-                                          u_int.dtype))
+                                          cdtype))
         scratch.append(pltpu.SemaphoreType.DMA(
             (2, 3 + 2 * n_dma + (3 + nts if with_temp else 0))
         ))
@@ -3411,7 +3421,7 @@ def _pc_qhat_kernel(
 
 def pressure_correct_qhat_3d(
     ut_int, qhat, dxs, vy, vzT, *, precision="manualhigh", bx=None,
-    interpret=False,
+    interpret=False, out_dtype=None,
 ):
     """u = ut - grad(q) where q is given in the z/y eigen-basis
     (``qhat``); the inverse transform happens in-kernel (fused Poisson
@@ -3421,6 +3431,7 @@ def pressure_correct_qhat_3d(
     D, n, ny, nz = ut_int.shape
     assert D == 3 and n == ny == nz
     cdtype = qhat.dtype
+    odtype = cdtype if out_dtype is None else out_dtype
     if bx is None:
         bx = _pick_bx(n, lambda b: 14 * b + 2)
     while n % bx != 0:
@@ -3444,7 +3455,7 @@ def pressure_correct_qhat_3d(
         out_specs=pl.BlockSpec(
             (3, bx, n, n), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((3, n, n, n), cdtype),
+        out_shape=jax.ShapeDtypeStruct((3, n, n, n), odtype),
         scratch_shapes=[
             pltpu.VMEM((2, 3, bx, n, n), ut_int.dtype),
             pltpu.VMEM((2, bx + 1, n, n), cdtype),

@@ -203,3 +203,53 @@ def test_hat_bf16_stream_storage():
     err = float(jnp.max(jnp.abs(res[False] - res[True]))
                 / jnp.max(jnp.abs(res[True])))
     assert np.isfinite(err) and err < 5e-2, err
+
+
+def test_unmerged_bf16_stream_fallback():
+    """bf16 stream storage over the UNMERGED fused chain (the 512^3
+    production path, where the merged chain is VMEM-gated off): the
+    hat builder returns a (cast, step_unmerged, uncast) triple whose
+    carry holds bf16 u; stage kernels upcast windows to f32."""
+    import numpy as np
+
+    from ins_tpu.ops.fastpath import (
+        make_fast_timestep,
+        make_fast_timestep_hat,
+        strip_ghosts,
+    )
+    from ins_tpu.time_steppers.step import StepperState
+
+    n = 32
+    x = (np.linspace(0, 2 * np.pi, n + 1),) * 3
+    bc = ((ins.PeriodicBC(), ins.PeriodicBC()),) * 3
+    setup = ins.Setup(x=x, boundary_conditions=bc, Re=1e3,
+                      dtype=jnp.float32)
+    ps = ins.psolver_spectral(setup)
+    u0 = strip_ghosts(jax.jit(
+        lambda k: ins.random_field(setup, kp=3, psolver=ps, rng=k)
+    )(jax.random.PRNGKey(0)))
+    # SSP33 is NOT classic-row, so use_merged is False and the
+    # stream_dtype request takes the unmerged fallback
+    m = ins.RKMethods.SSP33()
+    step32 = make_fast_timestep(setup, m, _fused_interpret=True,
+                                projection_precision="highest")
+    s = StepperState(u=u0, temp=None, t=jnp.float32(0), n=jnp.asarray(0))
+    for _ in range(2):
+        s = step32(s, jnp.float32(5e-3), None)
+    fns = make_fast_timestep_hat(
+        setup, m, stream_dtype=jnp.bfloat16, _fused_interpret=True,
+        projection_precision="highest",
+    )
+    assert fns is not None, "unmerged bf16 fallback not engaged"
+    to_sd, step_sd, from_sd = fns
+    h = to_sd(StepperState(
+        u=u0, temp=None, t=jnp.float32(0), n=jnp.asarray(0)
+    ))
+    assert h.u.dtype == jnp.bfloat16
+    for _ in range(2):
+        h = step_sd(h, jnp.float32(5e-3), None)
+    assert h.u.dtype == jnp.bfloat16
+    s2 = from_sd(h)
+    assert s2.u.dtype == jnp.float32
+    err = float(jnp.max(jnp.abs(s2.u - s.u)) / jnp.max(jnp.abs(s.u)))
+    assert np.isfinite(err) and err < 5e-2, err
